@@ -1,0 +1,4 @@
+from avt_tpu.utils.metrics import topk_accuracy
+from avt_tpu.utils.logging import get_logger
+
+__all__ = ["topk_accuracy", "get_logger"]
