@@ -1,0 +1,117 @@
+"""EpicKitchens annotation loading with synthetic EK100-style files."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from avt_tpu.data import NpyFeatsReader, convert_to_anticipation
+from avt_tpu.data.epic_kitchens import (
+    EPIC100_VERSION,
+    EpicKitchens,
+    gen_all_actions,
+    load_action_classes,
+)
+
+
+@pytest.fixture
+def ek_files(tmp_path):
+    """Minimal EK100-style annotation + feature tree."""
+    annot = tmp_path / "annot"
+    annot.mkdir()
+    # verb/noun class lists (EK100 header uses 'key')
+    (annot / "EPIC_100_verb_classes.csv").write_text(
+        "id,key,instances\n0,take,x\n1,put,x\n2,wash,x\n"
+    )
+    (annot / "EPIC_100_noun_classes.csv").write_text(
+        "id,key,instances\n0,plate,x\n1,knife,x\n"
+    )
+    # RULSTM actions.csv: id,verb,noun,action
+    (annot / "actions.csv").write_text(
+        "id,verb,noun,action\n0,0,0,take_plate\n1,0,1,take_knife\n"
+        "2,1,0,put_plate\n3,2,1,wash_knife\n"
+    )
+    # RULSTM-style training csv: uid,video_id,start_f,end_f,verb,noun,action
+    rows = []
+    for i in range(8):
+        start_f = 400 + i * 300
+        rows.append(f"{100+i},P01_01,{start_f},{start_f+90},{i%3},{i%2},{i%4}")
+    (annot / "training.csv").write_text("\n".join(rows) + "\n")
+    # feature store
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    arr = np.tile(
+        np.arange(1, 4001, dtype=np.float32)[:, None], (1, 4)
+    )
+    np.save(feats / "P01_01.npy", arr)
+    return annot, feats
+
+
+def test_epic_kitchens_rulstm_csv(ek_files):
+    annot, feats = ek_files
+    ds = EpicKitchens(
+        annotation_path=[str(annot / "training.csv")],
+        action_labels_fpath=str(annot / "actions.csv"),
+        annotation_dir=str(annot),
+        version=EPIC100_VERSION,
+        root=str(feats),
+        frames_per_clip=10,
+        frame_rate=1.0,
+        subclips_options={"num_frames": 1, "stride": 1},
+        reader=NpyFeatsReader(str(feats), read_type="normal"),
+        label_type=["verb", "noun", "action"],
+        sample_strategy="last_clip",
+        conv_to_anticipate_fn=lambda d: convert_to_anticipation(d, 1.0, 10.0),
+    )
+    # frame 400/30 = 13.33s start; all 8 actions anticipatable
+    assert len(ds) == 8
+    assert ds.primary_metric == "final_acc/action/AR5"
+    assert list(ds.classes.keys()) == ["verb", "noun", "action"]
+    assert len(ds.verb_classes) == 3 and len(ds.noun_classes) == 2
+    assert len(ds.action_classes) == 4
+
+    item = ds[0]
+    assert item["video"].shape == (10, 4, 1, 1, 1)
+    assert item["uid"] == "100"
+    # seconds: start_f=400 -> start=13.333; window [2.333, 12.333]
+    assert item["end"] == pytest.approx(400 / 30.0 - 1.0)
+
+    cm = ds.class_mappings
+    via = cm[("verb", "action")]
+    assert via.shape == (4, 3)
+    np.testing.assert_array_equal(
+        via, [[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    )
+    nia = cm[("noun", "action")]
+    np.testing.assert_array_equal(
+        nia, [[1, 0], [0, 1], [1, 0], [0, 1]]
+    )
+
+
+def test_gen_all_actions_cross_product():
+    names, vn2a = gen_all_actions(["take", "put"], ["plate", "knife"])
+    assert names == {
+        "take:plate": 0, "take:knife": 1, "put:plate": 2, "put:knife": 3
+    }
+    assert vn2a[(1, 0)] == 2
+
+
+def test_load_action_classes(ek_files):
+    annot, _ = ek_files
+    names, vn2a = load_action_classes(annot / "actions.csv")
+    assert names["wash_knife"] == 3
+    assert vn2a[(2, 1)] == 3
+
+
+def test_person_subset(ek_files):
+    annot, feats = ek_files
+    ds = EpicKitchens(
+        annotation_path=[str(annot / "training.csv")],
+        action_labels_fpath=str(annot / "actions.csv"),
+        annotation_dir=str(annot),
+        version=EPIC100_VERSION,
+        only_keep_persons="2-5",  # P01 excluded
+        root=str(feats),
+        frames_per_clip=10,
+        reader=NpyFeatsReader(str(feats), read_type="normal"),
+        label_type="action",
+    )
+    assert len(ds) == 0
