@@ -1,0 +1,29 @@
+"""Model zoo (flax.linen): composition root, backbones, heads.
+
+Mirrors the reference's models/ package (base_model.py,
+video_classification.py, temporal_aggregation.py, future_prediction.py,
+classifiers.py) re-designed functionally for XLA: every module is a pure
+apply over a params pytree; endpoints are returned as a dict keyed
+identically to the reference ('logits/<task>', 'past_logits/<task>',
+'temp_agg', 'future', ...), since losses and eval key off those names.
+"""
+from avt_tpu.models.base import AVTModel, CLS_MAP_PREFIX, PAST_LOGITS_PREFIX
+from avt_tpu.models.future import AVTh, IdentityFuture, MLPFuture
+from avt_tpu.models.temporal_agg import IdentityAgg, MeanAgg, TransformerAgg
+from avt_tpu.models.classifiers import LinearClassifier, MLPClassifier
+from avt_tpu.models.backbones import IdentityBackbone
+
+__all__ = [
+    "AVTModel",
+    "CLS_MAP_PREFIX",
+    "PAST_LOGITS_PREFIX",
+    "AVTh",
+    "IdentityFuture",
+    "MLPFuture",
+    "IdentityAgg",
+    "MeanAgg",
+    "TransformerAgg",
+    "LinearClassifier",
+    "MLPClassifier",
+    "IdentityBackbone",
+]

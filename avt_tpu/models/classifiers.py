@@ -1,0 +1,31 @@
+"""Classifier heads.
+
+Parity: reference conf/model/classifier/linear.yaml (torch.nn.Linear) and
+models/classifiers.py (MLP: nlayers-1 x [Linear(in,in)+ReLU] then
+Linear(in,out)).
+"""
+from __future__ import annotations
+
+from flax import linen as nn
+
+
+class LinearClassifier(nn.Module):
+    out_features: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.out_features, use_bias=self.bias, name="fc")(x)
+
+
+class MLPClassifier(nn.Module):
+    out_features: int
+    nlayers: int = 2
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.nlayers - 1):
+            x = nn.Dense(x.shape[-1], use_bias=self.bias, name=f"fc_{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out_features, name=f"fc_{self.nlayers - 1}")(x)

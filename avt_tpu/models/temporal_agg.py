@@ -1,0 +1,105 @@
+"""Temporal aggregators: (B, T, C) -> (B, C') (or pass-through).
+
+Parity target: reference models/temporal_aggregation.py
+  * Identity (:21-31), Mean (:34-47)
+  * Transformer (:73-147): downproject -> sin/cos positional encoding ->
+    N post-LN encoder layers -> mean/last aggregation; optional cloze/MLM
+    auxiliary loss with a learned [MASK] embedding whose masked positions
+    are dropped from attention keys.
+  * RULSTMAggregation (:150-201): rolling-unrolling LSTM — later round.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avt_tpu.models.layers import EncoderBlock, sincos_positional_encoding
+
+
+class IdentityAgg(nn.Module):
+    in_features: int
+
+    def __call__(self, feats, *, train: bool = False):
+        return feats, {}
+
+    @property
+    def output_dim(self):
+        return self.in_features
+
+
+class MeanAgg(nn.Module):
+    in_features: int
+
+    def __call__(self, feats, *, train: bool = False):
+        return jnp.mean(feats, axis=1), {}
+
+    @property
+    def output_dim(self):
+        return self.in_features
+
+
+class TransformerAgg(nn.Module):
+    """Transformer-encoder aggregator with optional cloze (MLM) aux loss."""
+
+    in_features: int
+    inter_rep: int = 512
+    nheads: int = 8
+    nlayers: int = 6
+    ffn_dim: int = 2048  # torch TransformerEncoderLayer default
+    dropout: float = 0.1
+    agg_style: str = "mean"
+    cloze_loss_ratio: float = 0.0
+    cloze_loss_wt: float = 0.0
+    max_len: int = 1000
+
+    @nn.compact
+    def __call__(self, feats, *, train: bool = False):
+        """feats: (B, T, C) -> ((B, inter_rep), aux_losses)."""
+        B, T, C = feats.shape
+        aux_losses = {}
+        key_mask = None
+        if train and self.cloze_loss_ratio > 0:
+            mask_embed = self.param(
+                "mask_embed", nn.initializers.normal(0.02), (1, 1, C)
+            )
+            rng = self.make_rng("cloze")
+            key_mask = (
+                jax.random.uniform(rng, (B, T)) <= self.cloze_loss_ratio
+            )  # True = masked out
+            feats = jnp.where(key_mask[..., None], mask_embed, feats)
+        x = nn.Dense(self.inter_rep, name="downproject")(feats)
+        pe = sincos_positional_encoding(self.max_len, self.inter_rep)
+        x = x + pe[None, :T]
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        enc_input = x
+        attn_mask = None
+        if key_mask is not None:
+            # ignore masked positions as attention KEYS: (B, 1, 1, T)
+            attn_mask = (~key_mask)[:, None, None, :]
+        for i in range(self.nlayers):
+            x = EncoderBlock(
+                num_heads=self.nheads,
+                ffn_dim=self.ffn_dim,
+                dropout=self.dropout,
+                name=f"layer_{i}",
+            )(x, train=train, mask=attn_mask)
+        x = nn.LayerNorm(name="norm")(x)
+        if key_mask is not None and self.cloze_loss_wt > 0:
+            dist = (x - enc_input) ** 2
+            aux_losses["tx_mlm"] = self.cloze_loss_wt * jnp.mean(
+                jnp.mean(dist, axis=-1) * key_mask
+            )
+        if self.agg_style == "mean":
+            res = jnp.mean(x, axis=1)
+        elif self.agg_style == "last":
+            res = x[:, -1]
+        else:
+            raise NotImplementedError(f"Unknown agg_style {self.agg_style!r}")
+        return res, aux_losses
+
+    @property
+    def output_dim(self):
+        return self.inter_rep

@@ -1,0 +1,106 @@
+"""Fused attention: Pallas flash-attention on TPU, jax.nn fallback elsewhere.
+
+The ViT backbone (B*T frames x 197 tokens) is the attention hot spot; the
+AVT-h head runs tiny sequences (<= ~32 tokens) where kernel launch overhead
+outweighs fusion, so the dispatcher routes small shapes to the XLA path.
+
+Replaces: cuDNN attention inside timm ViT / HuggingFace GPT-2 in the
+reference (models/video_classification.py, models/future_prediction.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Pallas kernel thresholds: below this sequence length the XLA path wins.
+_PALLAS_MIN_SEQ = 128
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool,
+    mask: Optional[jax.Array],
+) -> jax.Array:
+    """Reference path: jax.nn.dot_product_attention (fused by XLA)."""
+    return jax.nn.dot_product_attention(
+        q, k, v, mask=mask, is_causal=causal
+    )
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    mask: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over (B, T, H, D) tensors.
+
+    Args:
+      q, k, v: (batch, seq, heads, head_dim).
+      causal: apply a causal mask.
+      mask: optional boolean mask broadcastable to (B, H, Tq, Tk); True=keep.
+      use_pallas: force the Pallas kernel on/off; default auto-dispatch
+        (TPU + seq >= 128 + no custom mask).
+    """
+    seq_q = q.shape[1]
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and seq_q >= _PALLAS_MIN_SEQ
+            and mask is None
+        )
+    if use_pallas:
+        from avt_tpu.ops.flash_attention import flash_attention_vjp
+
+        return flash_attention_vjp(q, k, v, causal)
+    return _xla_attention(q, k, v, causal, mask)
+
+
+def multi_head_attention(
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    wo: jax.Array,
+    num_heads: int,
+    *,
+    bq: Optional[jax.Array] = None,
+    bk: Optional[jax.Array] = None,
+    bv: Optional[jax.Array] = None,
+    bo: Optional[jax.Array] = None,
+    causal: bool = False,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Functional MHA: projections + fused attention + output projection.
+
+    Weight shapes: wq/wk/wv (C, C'), wo (C', C). Used by modules that manage
+    their own parameters (e.g. weight-imported backbones).
+    """
+    B, T, C = x_q.shape
+    head_dim = wq.shape[1] // num_heads
+
+    def proj(x, w, b):
+        y = x @ w
+        if b is not None:
+            y = y + b
+        return y.reshape(x.shape[0], x.shape[1], num_heads, head_dim)
+
+    q = proj(x_q, wq, bq)
+    k = proj(x_kv, wk, bk)
+    v = proj(x_kv, wv, bv)
+    out = dot_product_attention(q, k, v, causal=causal, mask=mask)
+    out = out.reshape(B, T, num_heads * head_dim)
+    out = out @ wo
+    if bo is not None:
+        out = out + bo
+    return out

@@ -1,0 +1,242 @@
+"""Model stack tests: AVT-h head + composition root (the expts/02 shape)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avt_tpu.losses import mse
+from avt_tpu.models import (
+    AVTh,
+    AVTModel,
+    IdentityAgg,
+    IdentityBackbone,
+    IdentityFuture,
+    LinearClassifier,
+    MeanAgg,
+    TransformerAgg,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _avth(**kw):
+    args = dict(
+        in_features=1024,
+        inter_dim=256,
+        n_layer=2,
+        n_head=4,
+        output_len=1,
+        avg_last_n=1,
+        return_past_too=True,
+        future_pred_loss=lambda p, t: mse(p, t, reduction="none"),
+    )
+    args.update(kw)
+    return AVTh(**args)
+
+
+def test_avth_shapes_and_loss():
+    model = _avth()
+    feats = jnp.asarray(RNG.normal(size=(2, 10, 1024)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats)
+    past, future, losses, endpoints = model.apply(params, feats)
+    # return_past_too + avg_last_n=1: final = mean of last 1 of
+    # cat([past(10), outputs[9:10]]) -> (B, C)
+    assert future.shape == (2, 1024)
+    assert past.shape == (2, 10, 1024)
+    assert losses["feat"].shape == (2, 9, 1024)  # unreduced teacher-forced
+    # updated_past[0] == input[0] (GT first frame kept)
+    np.testing.assert_allclose(np.asarray(past[:, 0]), np.asarray(feats[:, 0]))
+
+
+def test_avth_rollout_lengths():
+    model = _avth(output_len=3, return_past_too=False, avg_last_n=-1)
+    feats = jnp.asarray(RNG.normal(size=(2, 5, 1024)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats)
+    past, future, losses, _ = model.apply(params, feats)
+    assert future.shape == (2, 3, 1024)  # last output_len predictions
+    assert past.shape == (2, 5, 1024)
+
+
+def test_avth_rollout_consistency_with_longer_input():
+    """Rolled-out step k must equal a teacher-forced pass where the fed-back
+    hidden is injected — i.e. the recompute rollout is self-consistent:
+    running with output_len=2 must give the same first-T outputs as
+    output_len=1 (causality: extra future tokens can't change the past)."""
+    m1 = _avth(output_len=1, return_past_too=True, avg_last_n=-1)
+    m2 = _avth(output_len=2, return_past_too=True, avg_last_n=-1)
+    feats = jnp.asarray(RNG.normal(size=(1, 6, 1024)).astype(np.float32))
+    params = m1.init(jax.random.PRNGKey(0), feats)
+    past1, fut1, _, _ = m1.apply(params, feats)
+    past2, fut2, _, _ = m2.apply(params, feats)
+    np.testing.assert_allclose(np.asarray(past1), np.asarray(past2), atol=1e-5)
+    # return_past_too: fut = cat([prev (6), outputs[5:]]) -> m1: 7, m2: 8
+    assert fut1.shape[1] == 7 and fut2.shape[1] == 8
+    np.testing.assert_allclose(
+        np.asarray(fut1[:, :7]), np.asarray(fut2[:, :7]), atol=1e-5
+    )
+
+
+def test_avth_eval_output_len():
+    m = _avth(output_len=1, output_len_eval=2, return_past_too=False, avg_last_n=-1)
+    feats = jnp.asarray(RNG.normal(size=(1, 4, 1024)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), feats)
+    _, fut_eval, _, _ = m.apply(
+        params, feats, train=False
+    )
+    assert fut_eval.shape[1] == 2  # eval uses output_len_eval
+    _, fut_train, _, _ = m.apply(
+        params, feats, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert fut_train.shape[1] == 1  # train uses output_len
+
+
+def _build_expts02_model(num_classes=(("action", 11),), cls_mappings=(), **kw):
+    classifiers = {
+        name: LinearClassifier(out_features=n)
+        for name, n in num_classes[:1]
+    } if kw.pop("use_cls_mappings", False) else {
+        name: LinearClassifier(out_features=n) for name, n in num_classes
+    }
+    use_maps = len(classifiers) < len(num_classes)
+    return AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=1024),
+        future_predictor=_avth(inter_dim=128, n_layer=2, n_head=4),
+        temporal_aggregator_after_future_pred=IdentityFuture(in_features=1024),
+        classifiers=classifiers,
+        num_classes=num_classes,
+        class_mappings=cls_mappings,
+        backbone_dim=1024,
+        dropout=0.2,
+        classifier_on_past=True,
+        use_cls_mappings=use_maps,
+        **kw,
+    )
+
+
+class _IdentityAfterAgg(IdentityAgg):
+    """After-future aggregator returning (feats, {})."""
+
+
+def test_avt_model_expts02_forward():
+    # expts/02 topology: identity backbone on features, identity agg over
+    # 1-frame subclips, AVT-h, linear classifier, past classifier on.
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=1024),
+        future_predictor=_avth(inter_dim=128, n_layer=2, n_head=4),
+        temporal_aggregator_after_future_pred=_IdentityAfterAgg(in_features=1024),
+        classifiers={"action": LinearClassifier(out_features=11)},
+        num_classes=(("action", 11),),
+        backbone_dim=1024,
+        dropout=0.2,
+        classifier_on_past=True,
+    )
+    # feature "video": (B, #clips=10, C=1024, T=1, H=1, W=1)
+    video = jnp.asarray(RNG.normal(size=(2, 10, 1024, 1, 1, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video, (2,))
+    outputs, aux = model.apply(params, video, (2,))
+    assert outputs["logits/action"].shape == (2, 11)
+    assert outputs["past_logits/action"].shape == (2, 10, 11)
+    assert outputs["temp_agg"].shape == (2 * 10, 1, 1024)
+    assert outputs["past"].shape == (2, 10, 1024)
+    assert outputs["future"].shape == (2, 1024)
+    assert aux["feat"].shape == (2, 9, 1024)
+    assert np.isfinite(np.asarray(outputs["logits/action"])).all()
+
+
+def test_avt_model_class_mapping_marginalization():
+    # action classifier only; verb/noun derived via 0/1 mapping matmul
+    n_act, n_verb = 6, 3
+    via = np.zeros((n_act, n_verb), np.float32)
+    for a in range(n_act):
+        via[a, a % n_verb] = 1.0
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=64),
+        future_predictor=IdentityFuture(in_features=64),
+        temporal_aggregator_after_future_pred=_IdentityAfterAgg(in_features=64),
+        classifiers={"action": LinearClassifier(out_features=n_act)},
+        num_classes=(("action", n_act), ("verb", n_verb)),
+        class_mappings=((("verb", "action"), via),),
+        backbone_dim=64,
+        use_cls_mappings=True,
+    )
+    video = jnp.asarray(RNG.normal(size=(2, 1, 64, 4, 1, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+    outputs, _ = model.apply(params, video)
+    act = np.asarray(outputs["logits/action"])
+    verb = np.asarray(outputs["logits/verb"])
+    np.testing.assert_allclose(verb, act @ via, rtol=1e-6)
+
+
+def test_avt_model_multicrop_averages():
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=MeanAgg(in_features=32),
+        future_predictor=IdentityFuture(in_features=32),
+        temporal_aggregator_after_future_pred=_IdentityAfterAgg(in_features=32),
+        classifiers={"action": LinearClassifier(out_features=5)},
+        num_classes=(("action", 5),),
+        backbone_dim=32,
+    )
+    video = jnp.asarray(RNG.normal(size=(2, 1, 3, 32, 4, 1, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+    outputs, _ = model.apply(params, video)
+    # averaging over 3 crops == mean of per-crop logits
+    per_crop = [
+        model.apply(params, video[:, :, i])[0]["logits/action"] for i in range(3)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(outputs["logits/action"]),
+        np.mean([np.asarray(p) for p in per_crop], axis=0),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_transformer_agg_cloze_loss():
+    agg = TransformerAgg(
+        in_features=64, inter_rep=32, nheads=4, nlayers=1,
+        cloze_loss_ratio=0.5, cloze_loss_wt=1.0,
+    )
+    feats = jnp.asarray(RNG.normal(size=(2, 8, 64)).astype(np.float32))
+    params = agg.init(
+        {"params": jax.random.PRNGKey(0), "cloze": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        feats, train=True,
+    )
+    out, aux = agg.apply(
+        params, feats, train=True,
+        rngs={"cloze": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+    )
+    assert out.shape == (2, 32)
+    assert "tx_mlm" in aux and float(aux["tx_mlm"]) > 0
+    # eval: no cloze loss
+    out_eval, aux_eval = agg.apply(params, feats, train=False)
+    assert "tx_mlm" not in aux_eval
+
+
+def test_model_grads_flow():
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=128),
+        future_predictor=_avth(in_features=128, inter_dim=64, n_layer=1, n_head=2),
+        temporal_aggregator_after_future_pred=_IdentityAfterAgg(in_features=128),
+        classifiers={"action": LinearClassifier(out_features=7)},
+        num_classes=(("action", 7),),
+        backbone_dim=128,
+        classifier_on_past=True,
+    )
+    video = jnp.asarray(RNG.normal(size=(2, 6, 128, 1, 1, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+
+    def loss_fn(p):
+        outputs, aux = model.apply(p, video)
+        return jnp.mean(outputs["logits/action"] ** 2) + jnp.mean(aux["feat"])
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree.leaves(jax.tree.map(lambda g: jnp.abs(g).sum(), grads))
+    total = sum(float(x) for x in flat)
+    assert np.isfinite(total) and total > 0
