@@ -1,0 +1,100 @@
+"""Evaluation driver.
+
+Parity target: reference func/train.py:319-429 (evaluate): loop over eval
+loaders, append per-batch logits/targets/uids/unreduced-losses to per-rank
+H5 files, sync meters, recompute the final metrics FROM THE STORED FILES
+(so offline analysis and in-train eval always agree), return the suffixless
+dataset's primary metric.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from avt_tpu.evaluate.metrics import final_accuracies_from_results
+from avt_tpu.evaluate.results import read_results, store_append_h5
+from avt_tpu.train.meters import MetricLogger
+
+RESULTS_SAVE_DIR = "results"
+
+# batch keys forwarded into the jitted eval step
+_JIT_KEYS = ("video", "target", "target_subclips")
+
+
+def evaluate(
+    eval_step: Callable,
+    params,
+    data_loaders: Dict[str, object],
+    *,
+    save_dir: str = ".",
+    epoch: float = 0.0,
+    store: bool = True,
+    only_run_featext: bool = False,
+    logger=None,
+    rank: int = 0,
+) -> float:
+    """Run evaluation over every loader; return the primary metric of the
+    suffix-less ('') loader."""
+    final_accuracies = {}
+    for data_key, loader in data_loaders.items():
+        metric_logger = MetricLogger(logger=logger)
+        this_save_dir = os.path.join(save_dir, RESULTS_SAVE_DIR + data_key)
+        if store and not only_run_featext and rank == 0:
+            shutil.rmtree(this_save_dir, ignore_errors=True)
+        for batch in metric_logger.log_every(
+            loader, print_freq=50, header=f"[{data_key}] Test:", total=len(loader)
+        ):
+            jit_batch = {k: batch[k] for k in _JIT_KEYS if k in batch}
+            res = eval_step(params, jit_batch)
+            res = jax.device_get(res)
+            batch_size = next(iter(batch["target"].values())).shape[0]
+            if store:
+                to_store = {
+                    k: np.asarray(v)
+                    for k, v in res.items()
+                    if k.startswith("logits/") or k.startswith("loss/")
+                }
+                to_store["idx"] = np.asarray(batch["idx"])
+                to_store["uid"] = np.asarray(batch["uid"])
+                if not only_run_featext:
+                    for k, v in batch["target"].items():
+                        to_store[f"target/{k}"] = np.asarray(v)
+                to_store["epoch"] = np.asarray([epoch])
+                store_append_h5(to_store, this_save_dir, rank=rank)
+            # meters
+            loss_keys = [k for k in res if k.startswith("loss/")]
+            total_loss = float(np.sum([np.mean(res[k]) for k in loss_keys]))
+            metric_logger.update(loss=total_loss)
+            for k, v in res.items():
+                if k.startswith("acc"):
+                    metric_logger.update(n=batch_size, **{k: float(v)})
+                elif k.startswith("loss/"):
+                    metric_logger.update(n=batch_size, **{k: float(np.mean(v))})
+        if only_run_featext:
+            continue
+        metric_logger.synchronize_between_processes()
+        accs = {
+            k: m.global_avg for k, m in metric_logger.meters.items()
+        }
+        if store:
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("eval_store")
+            dataset = loader.dataset
+            results = read_results(this_save_dir)
+            accs.update(
+                final_accuracies_from_results(results, dataset.classes_manyshot)
+            )
+        if logger is not None:
+            for k in sorted(accs):
+                logger.info("[eval%s] %s: %f", data_key, k, accs[k])
+        final_accuracies[data_key] = accs
+    if only_run_featext:
+        return 0.0
+    main = data_loaders[""]
+    return final_accuracies[""][main.dataset.primary_metric]

@@ -1,0 +1,162 @@
+"""The training loop.
+
+Parity target: reference func/train.py:539-844 (main/train_one_epoch):
+epoch loop with per-epoch reshuffling, periodic + wall-clock checkpointing
+(fractional epochs), eval every eval_freq with best-checkpoint tracking,
+NaN-loss abort, fractional-epoch resume that fast-forwards the loader.
+
+TPU-native: the entire step (forward, losses, grads, update) is one jitted
+program built by make_train_step; the loop only moves host data, meters and
+checkpoints.
+"""
+from __future__ import annotations
+
+import datetime
+import math
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from avt_tpu.train.checkpoint import (
+    BEST_NAME,
+    CKPT_NAME,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from avt_tpu.train.meters import MetricLogger
+from avt_tpu.train.step import TrainState
+
+_JIT_KEYS = ("video", "target", "target_subclips")
+
+
+def train_one_epoch(
+    train_step: Callable,
+    state: TrainState,
+    loader,
+    *,
+    epoch: int,
+    partial_epoch: float = 0.0,
+    rng,
+    metric_logger: Optional[MetricLogger] = None,
+    logger=None,
+    print_freq: int = 10,
+    save_freq: Optional[float] = None,
+    save_freq_min: Optional[float] = None,
+    save_intermediates: bool = False,
+    ckpt_dir: Optional[str] = None,
+    last_saved_time: Optional[datetime.datetime] = None,
+    rank: int = 0,
+):
+    """Run (the rest of) one epoch; returns (state, last_saved_time)."""
+    metric_logger = metric_logger or MetricLogger(logger=logger)
+    batches_per_epoch = len(loader)
+    partial_iters = int(batches_per_epoch * partial_epoch)
+    last_saved_time = last_saved_time or datetime.datetime.now()
+    save_freq_steps = (
+        int(save_freq * batches_per_epoch) if save_freq else None
+    )
+    it = iter(loader)
+    for _ in range(partial_iters):  # fast-forward a fractional resume
+        next(it)
+    for i, batch in enumerate(
+        metric_logger.log_every(
+            it, print_freq, f"Epoch [{epoch}]", total=batches_per_epoch
+        ),
+        partial_iters,
+    ):
+        step_id = epoch * batches_per_epoch + i
+        cur_epoch = step_id / batches_per_epoch
+        now = datetime.datetime.now()
+        mins_since = (now - last_saved_time).total_seconds() / 60.0
+        if ckpt_dir and (
+            (save_freq_steps and step_id % save_freq_steps == 0)
+            or (save_freq_min and mins_since >= save_freq_min)
+        ):
+            names = [CKPT_NAME]
+            if save_intermediates:
+                names.append(f"{CKPT_NAME}_ep{cur_epoch:.8f}")
+            save_checkpoint(ckpt_dir, state, cur_epoch, names=tuple(names), rank=rank)
+            last_saved_time = now
+
+        t0 = time.time()
+        jit_batch = {k: batch[k] for k in _JIT_KEYS if k in batch}
+        step_rng = jax.random.fold_in(rng, step_id)
+        state, metrics = train_step(state, jit_batch, step_rng)
+        loss = float(metrics["loss"])
+        if math.isnan(loss):
+            raise ValueError("The loss is NaN!")
+        batch_size = next(iter(batch["target"].values())).shape[0]
+        metric_logger.update(loss=loss)
+        metric_logger["clips/s"].update(batch_size / (time.time() - t0))
+        for k, v in metrics.items():
+            if k.startswith("acc"):
+                metric_logger.update(n=batch_size, **{k: float(v)})
+            elif k.startswith("loss/"):
+                metric_logger.update(**{k: float(v)})
+    return state, last_saved_time
+
+
+def run_training(
+    *,
+    train_step: Callable,
+    state: TrainState,
+    train_loader,
+    eval_fn: Optional[Callable] = None,  # (state, epoch) -> primary metric
+    num_epochs: int,
+    ckpt_dir: Optional[str] = None,
+    eval_freq: int = 1,
+    store_best: bool = False,
+    save_freq: Optional[float] = None,
+    save_freq_min: Optional[float] = 60.0,
+    save_intermediates: bool = False,
+    seed: int = 42,
+    logger=None,
+    rank: int = 0,
+) -> TrainState:
+    """Full training driver with auto-resume (func/train.py:760-840)."""
+    start_epoch = 0.0
+    if ckpt_dir:
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state, start_epoch = restored
+            if logger:
+                logger.info("Resumed from epoch %.4f", start_epoch)
+    rng = jax.random.PRNGKey(seed)
+    best_metric = -float("inf")
+    last_saved = datetime.datetime.now()
+    epoch = int(start_epoch)
+    partial = start_epoch - epoch
+    while epoch < num_epochs:
+        train_loader.set_epoch(epoch)
+        state, last_saved = train_one_epoch(
+            train_step,
+            state,
+            train_loader,
+            epoch=epoch,
+            partial_epoch=partial if epoch == int(start_epoch) else 0.0,
+            rng=rng,
+            logger=logger,
+            save_freq=save_freq,
+            save_freq_min=save_freq_min,
+            save_intermediates=save_intermediates,
+            ckpt_dir=ckpt_dir,
+            last_saved_time=last_saved,
+            rank=rank,
+        )
+        partial = 0.0
+        if ckpt_dir:
+            save_checkpoint(ckpt_dir, state, float(epoch + 1), rank=rank)
+            last_saved = datetime.datetime.now()
+        if eval_fn is not None and (epoch + 1) % eval_freq == 0:
+            metric = eval_fn(state, float(epoch + 1))
+            if logger:
+                logger.info("Epoch %d primary metric: %f", epoch + 1, metric)
+            if store_best and metric > best_metric and ckpt_dir:
+                best_metric = metric
+                save_checkpoint(
+                    ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,), rank=rank
+                )
+        epoch += 1
+    return state

@@ -1,0 +1,118 @@
+"""Metric meters: windowed smoothing + epoch-global averages.
+
+Parity target: reference common/log.py (SmoothedValue, MetricLogger):
+median/avg over a deque window, global avg over the epoch, log_every
+wrapper with iter/data timing and clips/s. Cross-process sync uses
+jax.experimental.multihost_utils when running multi-host (the reference
+all_reduces through torch.distributed).
+"""
+from __future__ import annotations
+
+import time
+from collections import defaultdict, deque
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+class SmoothedValue:
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value: float, n: int = 1):
+        self.deque.append(value)
+        self.count += n
+        self.total += value * n
+
+    @property
+    def median(self) -> float:
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    @property
+    def avg(self) -> float:
+        return float(np.mean(self.deque)) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def value(self) -> float:
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(
+            median=self.median, avg=self.avg,
+            global_avg=self.global_avg, value=self.value,
+        )
+
+
+class MetricLogger:
+    def __init__(self, delimiter: str = "  ", logger=None):
+        self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+        self.logger = logger
+
+    def update(self, n: int = 1, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v), n=n)
+
+    def __getitem__(self, key) -> SmoothedValue:
+        return self.meters[key]
+
+    def synchronize_between_processes(self):
+        """Average meter totals across hosts (multi-host runs only)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        keys = sorted(self.meters)
+        totals = np.asarray(
+            [[self.meters[k].total, self.meters[k].count] for k in keys]
+        )
+        summed = multihost_utils.process_allgather(totals).sum(axis=0)
+        for i, k in enumerate(keys):
+            self.meters[k].total = float(summed[i, 0])
+            self.meters[k].count = int(summed[i, 1])
+
+    def __str__(self):
+        return self.delimiter.join(
+            f"{name}: {meter}" for name, meter in sorted(self.meters.items())
+        )
+
+    def log_every(
+        self,
+        iterable: Iterable,
+        print_freq: int = 10,
+        header: str = "",
+        total: Optional[int] = None,
+    ):
+        i = 0
+        start = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        end = time.time()
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if self.logger and i % print_freq == 0:
+                tot = total if total is not None else "?"
+                eta = (
+                    iter_time.global_avg * (total - i) if total else float("nan")
+                )
+                self.logger.info(
+                    "%s [%d/%s] eta %.0fs %s iter_t %.3fs data_t %.3fs",
+                    header, i, tot, eta, str(self), iter_time.avg, data_time.avg,
+                )
+            i += 1
+            end = time.time()
+        if self.logger:
+            self.logger.info(
+                "%s done in %.1fs: %s", header, time.time() - start, str(self)
+            )

@@ -1,0 +1,313 @@
+"""Optimizers, LR schedules, per-module param groups (optax).
+
+Parity targets:
+  * common/scheduler.py: WarmupMultiStepLR, CosineLR (eta_min scaled by
+    world size, zero LR past T_max), Warmup wrapper (linear ramp from
+    init_lr_ratio over warmup iters, then delegate with a fresh counter).
+  * func/train.py:696-742: per-module [module, lr, wd] groups with
+    bias/norm weight-decay scaling, LR x world_size (x batch_size opt),
+    lr==0 groups frozen.
+  * conf/opt/optimizer/*: sgd (momentum .9, optional nesterov: L2-style
+    wd), adam/adamW, adafactor.
+
+Schedules are pure functions of the iteration count; the torch stepping
+quirks are folded in (the Warmup wrapper hands the base scheduler a counter
+that starts at 1 on the first post-warmup step — see warmup_schedule).
+"""
+from __future__ import annotations
+
+import fnmatch
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Schedule = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+# --------------------------------------------------------------- schedules
+def multistep_schedule(
+    base_lr: float,
+    milestone_epochs: Sequence[int],
+    iters_per_epoch: int,
+    gamma: float = 0.1,
+    warmup_factor: float = 1.0 / 3,
+    warmup_epochs: int = 5,
+    warmup_method: str = "linear",
+) -> Schedule:
+    """WarmupMultiStepLR (common/scheduler.py:9-54)."""
+    milestones = jnp.asarray([iters_per_epoch * m for m in milestone_epochs])
+    warmup_iters = max(warmup_epochs * iters_per_epoch, 1)
+
+    def fn(it):
+        it = jnp.asarray(it, dtype=jnp.float32)
+        if warmup_method == "constant":
+            wf = jnp.where(it < warmup_iters, warmup_factor, 1.0)
+        else:
+            alpha = it / warmup_iters
+            wf = jnp.where(
+                it < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0
+            )
+        power = jnp.sum(it >= milestones) if len(milestone_epochs) else 0
+        return base_lr * wf * gamma**power
+
+    return fn
+
+
+def cosine_schedule(
+    base_lr: float,
+    num_epochs: int,
+    iters_per_epoch: int,
+    eta_min: float = 0.0,
+    world_size: int = 1,
+) -> Schedule:
+    """CosineLR (common/scheduler.py:57-75): zero LR past T_max."""
+    t_max = num_epochs * iters_per_epoch
+    eta = eta_min * world_size
+
+    def fn(it):
+        it = jnp.asarray(it, dtype=jnp.float32)
+        cos = eta + (base_lr - eta) * (1 + jnp.cos(jnp.pi * it / t_max)) / 2
+        return jnp.where(it < t_max, cos, 0.0)
+
+    return fn
+
+
+def constant_schedule(base_lr: float) -> Schedule:
+    return lambda it: jnp.full((), base_lr, dtype=jnp.float32)
+
+
+def warmup_schedule(
+    base_schedule: Schedule,
+    base_lr: float,
+    warmup_epochs: int,
+    iters_per_epoch: int,
+    init_lr_ratio: float = 0.0,
+) -> Schedule:
+    """Warmup wrapper (common/scheduler.py:88-136).
+
+    For it < W: lr = base_lr * (r + (1-r) * it/W). From it >= W the base
+    scheduler takes over with its counter at it - (W-1) (the torch wrapper
+    only starts stepping the base scheduler after warmup, and stepping
+    increments from the constructor's initial 0).
+
+    Reference quirk replicated: torch's recursive scheduler chaining makes
+    the base schedule continue RELATIVE to the last warmup LR — which is
+    base_lr * (r + (1-r)(W-1)/W), never quite base_lr — so the whole
+    post-warmup schedule is scaled by that factor (verified against torch).
+    """
+    w = max(warmup_epochs * iters_per_epoch, 1)
+    r = init_lr_ratio if w > 1 else 1.0
+    last_warmup_factor = r + (1 - r) * (w - 1) / w
+
+    def fn(it):
+        it = jnp.asarray(it, dtype=jnp.float32)
+        ramp = base_lr * (r + (1 - r) * it / w)
+        post = last_warmup_factor * base_schedule(jnp.maximum(it - (w - 1), 0))
+        return jnp.where(it < w, ramp, post)
+
+    return fn
+
+
+def build_schedule(
+    name: str,
+    base_lr: float,
+    *,
+    iters_per_epoch: int,
+    num_epochs: int,
+    world_size: int = 1,
+    warmup_epochs: int = 0,
+    warmup_init_lr_ratio: float = 0.0,
+    **kwargs,
+) -> Schedule:
+    """Build the full (warmup-wrapped) schedule by name.
+
+    Matches the reference composition: cosine T_max uses
+    (num_epochs - warmup_epochs) via the `minus` resolver in its config.
+    """
+    if name == "cosine":
+        base = cosine_schedule(
+            base_lr,
+            num_epochs - warmup_epochs,
+            iters_per_epoch,
+            eta_min=kwargs.get("eta_min", 0.0),
+            world_size=world_size,
+        )
+    elif name == "warmup_multi_step":
+        base = multistep_schedule(
+            base_lr,
+            kwargs.get("milestone_epochs", []),
+            iters_per_epoch,
+            gamma=kwargs.get("gamma", 0.1),
+            warmup_factor=kwargs.get("warmup_factor", 1.0 / 3),
+            warmup_epochs=kwargs.get("scheduler_warmup_epochs", 0),
+            warmup_method=kwargs.get("warmup_method", "linear"),
+        )
+    elif name in ("constant", "reduce_lr_on_plateau"):
+        # plateau stepping is a host-side decision (loop.py) that scales a
+        # multiplier; the in-jit schedule is constant
+        base = constant_schedule(base_lr)
+    else:
+        raise NotImplementedError(f"Unknown scheduler {name!r}")
+    return warmup_schedule(
+        base, base_lr, warmup_epochs, iters_per_epoch, warmup_init_lr_ratio
+    )
+
+
+# ------------------------------------------------------------- optimizers
+def _base_optimizer(
+    name: str,
+    schedule: Schedule,
+    wd: float,
+    *,
+    momentum: float = 0.9,
+    nesterov: bool = False,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """torch-parity single-group optimizer.
+
+    torch SGD/Adam apply weight decay L2-style (grad += wd * param) BEFORE
+    momentum — optax.add_decayed_weights before the update rule matches.
+    AdamW decays decoupled.
+    """
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.sgd(schedule, momentum=momentum, nesterov=nesterov),
+        )
+    if name == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    if name == "adamw":
+        return optax.adamw(
+            schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd
+        )
+    if name == "adafactor":
+        return optax.chain(
+            optax.add_decayed_weights(wd), optax.adafactor(schedule)
+        )
+    raise NotImplementedError(f"Unknown optimizer {name!r}")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _is_bias_or_norm(path_str: str, leaf) -> bool:
+    """bias/batch-norm/layer-norm params get bias_bn_wd_scale applied."""
+    name = path_str.rsplit("/", 1)[-1]
+    return name in ("bias",) or "LayerNorm" in path_str or "/bn" in path_str or (
+        name == "scale"
+    )
+
+
+def build_optimizer(
+    params,
+    lr_wd: Sequence[Tuple],
+    *,
+    optimizer_name: str = "sgd",
+    scheduler_name: str = "cosine",
+    iters_per_epoch: int,
+    num_epochs: int,
+    world_size: int = 1,
+    batch_size: Optional[int] = None,
+    scale_lr_by_bs: bool = False,
+    bias_bn_wd_scale: float = 1.0,
+    grad_clip_max_norm: Optional[float] = None,
+    warmup_epochs: int = 0,
+    warmup_init_lr_ratio: float = 0.0,
+    optimizer_kwargs: Optional[dict] = None,
+    scheduler_kwargs: Optional[dict] = None,
+):
+    """Per-module param groups -> optax.multi_transform.
+
+    lr_wd: list of [module_name(s), lr, wd]; '__all__' matches everything.
+    LR is scaled by world_size (and batch_size if scale_lr_by_bs), as in
+    func/train.py:718-720. Params whose group lr == 0 are frozen
+    (set_to_zero), matching :735-742. First matching group wins (the
+    reference double-updates on overlap — a documented TODO there, not
+    replicated).
+
+    Returns (optax transformation, schedules dict for logging).
+    """
+    optimizer_kwargs = optimizer_kwargs or {}
+    scheduler_kwargs = scheduler_kwargs or {}
+
+    groups: List[Tuple[Tuple[str, ...], float, float]] = []
+    for entry in lr_wd:
+        mods, lr, wd = entry
+        if isinstance(mods, str):
+            mods = (mods,)
+        groups.append((tuple(mods), float(lr), float(wd)))
+
+    lr_scale = world_size * (batch_size if scale_lr_by_bs and batch_size else 1)
+
+    def label_of(path_str: str, leaf) -> str:
+        for gi, (mods, lr, wd) in enumerate(groups):
+            for mod in mods:
+                if (
+                    mod == "__all__"
+                    or path_str.startswith(mod + "/")
+                    or f"/{mod}/" in f"/{path_str}"
+                    or fnmatch.fnmatch(path_str, mod)
+                ):
+                    if lr == 0:
+                        return "frozen"
+                    suffix = "_bn" if _is_bias_or_norm(path_str, leaf) else ""
+                    return f"g{gi}{suffix}"
+        return "frozen"  # unmatched params don't train (reference drops them)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: label_of(_path_str(path), leaf), params
+    )
+
+    transforms: Dict[str, optax.GradientTransformation] = {
+        "frozen": optax.set_to_zero()
+    }
+    schedules: Dict[str, Schedule] = {}
+    used_labels = set(jax.tree.leaves(labels))
+    for gi, (mods, lr, wd) in enumerate(groups):
+        for suffix, wd_scale in (("", 1.0), ("_bn", bias_bn_wd_scale)):
+            label = f"g{gi}{suffix}"
+            if label not in used_labels:
+                continue
+            sched = build_schedule(
+                scheduler_name,
+                lr * lr_scale,
+                iters_per_epoch=iters_per_epoch,
+                num_epochs=num_epochs,
+                world_size=world_size,
+                warmup_epochs=warmup_epochs,
+                warmup_init_lr_ratio=warmup_init_lr_ratio,
+                **scheduler_kwargs,
+            )
+            schedules[label] = sched
+            transforms[label] = _base_optimizer(
+                optimizer_name, sched, wd * wd_scale, **optimizer_kwargs
+            )
+
+    tx = optax.multi_transform(transforms, labels)
+    if grad_clip_max_norm is not None:
+        # The reference clips the global norm over OPTIMIZED params only
+        # (func/train.py:225-231): zero frozen grads before the clip so they
+        # don't inflate the norm.
+        frozen_mask = jax.tree.map(lambda l: l == "frozen", labels)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), frozen_mask),
+            optax.clip_by_global_norm(grad_clip_max_norm),
+            tx,
+        )
+    return tx, schedules

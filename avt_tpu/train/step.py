@@ -1,0 +1,166 @@
+"""Jitted train/eval steps over a TrainState pytree.
+
+Replaces the inner body of the reference's train_one_epoch
+(func/train.py:203-235): forward, per-loss mean-reduction, loss_wts-weighted
+sum with zero-weight exclusion (static, so excluded losses cost nothing),
+grad, clip (inside the optimizer chain), update — all one XLA program.
+
+Data parallelism: the step is written over the GLOBAL batch; under a mesh,
+inputs arrive sharded on the 'data' axis and params replicated, and XLA
+inserts the gradient all-reduce (the reference's DDP) automatically.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from avt_tpu.train.ops import basic_loss_accuracy
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+
+def weighted_loss_sum(
+    losses: Dict[str, jax.Array], loss_wts: Mapping[str, float]
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Mean-reduce each loss, then sum the ones with weight > 0.
+
+    Parity: func/train.py:207-217 — zero-weight losses are EXCLUDED from the
+    graph (so their params see no weight-decay-only updates), and a loss key
+    missing from loss_wts is an error, like the reference's attrgetter.
+    """
+    mean_losses = {k: jnp.mean(v) for k, v in losses.items()}
+    total = jnp.zeros((), jnp.float32)
+    for key, val in mean_losses.items():
+        if key not in loss_wts:
+            raise KeyError(
+                f"Loss {key!r} has no weight in loss_wts {sorted(loss_wts)}"
+            )
+        wt = loss_wts[key]
+        if wt > 0:
+            total = total + wt * val
+    return total, mean_losses
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_wts: Mapping[str, float],
+    num_classes: Mapping[str, int],
+    class_weights: Optional[Mapping[str, jax.Array]] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    batch: {'video': (B, #clips, [#crops,] C, T, H, W),
+            'target': {task: (B,)},
+            'target_subclips': optional {task: (B, #clips, T')}}
+    Returns (new_state, metrics) where metrics holds the total loss, each
+    mean loss, and accuracies — everything the meter layer logs.
+    """
+
+    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        target = batch["target"]
+        target_shape = next(iter(target.values())).shape
+
+        def loss_fn(params):
+            outputs, aux_losses = model.apply(
+                params,
+                batch["video"],
+                target_shape,
+                train=True,
+                rngs={"dropout": rng, "cloze": jax.random.fold_in(rng, 1)},
+            )
+            tsub = batch.get("target_subclips")
+            if tsub is not None:
+                # fold (B, #clips, T') -> (B, #clips*T') per reference's
+                # mode over the frame axis within each subclip
+                tsub = {k: v.reshape(v.shape[0], v.shape[1], -1) for k, v in tsub.items()}
+            losses, accuracies = basic_loss_accuracy(
+                outputs,
+                target,
+                tsub,
+                num_classes=num_classes,
+                class_weights=class_weights,
+            )
+            losses.update(aux_losses)
+            total, mean_losses = weighted_loss_sum(losses, loss_wts)
+            return total, (mean_losses, accuracies)
+
+        (total, (mean_losses, accuracies)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {"loss": total}
+        metrics.update({f"loss/{k}": v for k, v in mean_losses.items()})
+        metrics.update(accuracies)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    num_classes: Mapping[str, int],
+    class_weights: Optional[Mapping[str, jax.Array]] = None,
+    store_endpoint: str = "logits",
+) -> Callable:
+    """Build the jitted eval step.
+
+    Returns per-batch: {'logits/<task>', 'loss/<task>' (unreduced),
+    accuracies} — what the H5 result sink stores
+    (func/train.py:367-403).
+    """
+
+    def step_fn(params, batch) -> Dict[str, jax.Array]:
+        target = batch["target"]
+        target_shape = next(iter(target.values())).shape
+        outputs, aux_losses = model.apply(
+            params, batch["video"], target_shape, train=False
+        )
+        tsub = batch.get("target_subclips")
+        if tsub is not None:
+            tsub = {k: v.reshape(v.shape[0], v.shape[1], -1) for k, v in tsub.items()}
+        losses, accuracies = basic_loss_accuracy(
+            outputs, target, tsub,
+            num_classes=num_classes, class_weights=class_weights,
+        )
+        res: Dict[str, jax.Array] = {}
+        for task in target:
+            res[f"logits/{task}"] = outputs[f"{store_endpoint}/{task}"]
+            res[f"loss/cls_{task}"] = losses[f"cls_{task}"]
+        for k, v in aux_losses.items():
+            res[f"aux_loss/{k}"] = jnp.mean(v)
+        res.update(accuracies)
+        return res
+
+    return jax.jit(step_fn)
+
+
+def make_forward_fn(model) -> Callable:
+    """Plain jitted forward (used by bench + graft entry)."""
+
+    def fwd(params, video):
+        outputs, _ = model.apply(params, video, train=False)
+        return outputs
+
+    return jax.jit(fwd)

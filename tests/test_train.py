@@ -1,0 +1,191 @@
+"""Train-layer tests: mode, schedules vs torch, param groups, smoke train."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+import torch
+
+from avt_tpu.losses import mse
+from avt_tpu.models import (
+    AVTh,
+    AVTModel,
+    IdentityAgg,
+    IdentityBackbone,
+    LinearClassifier,
+)
+from avt_tpu.train import (
+    TrainState,
+    build_optimizer,
+    build_schedule,
+    make_train_step,
+    mode_over_frames,
+)
+from avt_tpu.train.step import weighted_loss_sum
+
+RNG = np.random.default_rng(3)
+
+
+def test_mode_over_frames_matches_torch():
+    labels = RNG.integers(-1, 5, size=(4, 3, 7))
+    ours = mode_over_frames(jnp.asarray(labels), num_classes=5)
+    ref = torch.mode(torch.from_numpy(labels), -1)[0]
+    np.testing.assert_array_equal(np.asarray(ours), ref.numpy())
+
+
+def _torch_lr_trajectory(sched_name, base_lr, iters_per_epoch, num_epochs,
+                         warmup_epochs, n_iters, **kw):
+    """Reference scheduler implementation trajectory via torch."""
+    import sys
+    from bisect import bisect_right
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+
+    class CosineLR(torch.optim.lr_scheduler.CosineAnnealingLR):
+        def __init__(self, optimizer, num_epochs, iters_per_epoch, world_size=1, eta_min=0.0):
+            super().__init__(optimizer, T_max=num_epochs * iters_per_epoch,
+                             eta_min=eta_min * world_size)
+
+        def get_lr(self, *a, **k):
+            if self.last_epoch < self.T_max:
+                return super().get_lr(*a, **k)
+            return [0.0 for _ in self.optimizer.param_groups]
+
+    class Warmup(torch.optim.lr_scheduler._LRScheduler):
+        def __init__(self, optimizer, scheduler, init_lr_ratio, num_epochs,
+                     iters_per_epoch):
+            self.base_scheduler = scheduler
+            self.warmup_iters = max(num_epochs * iters_per_epoch, 1)
+            self.init_lr_ratio = init_lr_ratio if self.warmup_iters > 1 else 1.0
+            super().__init__(optimizer, -1)
+
+        def get_lr(self):
+            assert self.last_epoch < self.warmup_iters
+            return [
+                el * (self.init_lr_ratio + (1 - self.init_lr_ratio) *
+                      (float(self.last_epoch) / self.warmup_iters))
+                for el in self.base_lrs
+            ]
+
+        def step(self, *a, **k):
+            if self.last_epoch < (self.warmup_iters - 1):
+                super().step(*a, **k)
+            else:
+                self.base_scheduler.step(*a, **k)
+
+    base = CosineLR(opt, num_epochs - warmup_epochs, iters_per_epoch, **kw)
+    sched = Warmup(opt, base, kw.get("init_lr_ratio", 0.0), warmup_epochs,
+                   iters_per_epoch)
+    lrs = []
+    for _ in range(n_iters):
+        lrs.append(opt.param_groups[0]["lr"])
+        sched.step()
+    return np.asarray(lrs)
+
+
+@pytest.mark.parametrize("warmup_epochs", [0, 2])
+def test_cosine_warmup_schedule_matches_torch(warmup_epochs):
+    base_lr, ipe, n_ep = 0.1, 5, 8
+    n_iters = ipe * n_ep + 3  # walk past T_max to check the 0-LR tail
+    ref = _torch_lr_trajectory(
+        "cosine", base_lr, ipe, n_ep, warmup_epochs, n_iters
+    )
+    sched = build_schedule(
+        "cosine", base_lr, iters_per_epoch=ipe, num_epochs=n_ep,
+        warmup_epochs=warmup_epochs,
+    )
+    ours = np.asarray([float(sched(i)) for i in range(n_iters)])
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_weighted_loss_sum_excludes_zero_weights():
+    losses = {"cls_action": jnp.asarray([2.0, 4.0]), "feat": jnp.asarray(6.0)}
+    total, means = weighted_loss_sum(
+        losses, {"cls_action": 1.0, "feat": 0.0}
+    )
+    assert float(total) == 3.0  # feat excluded
+    assert float(means["feat"]) == 6.0  # but still reported
+    with pytest.raises(KeyError):
+        weighted_loss_sum(losses, {"cls_action": 1.0})
+
+
+def _tiny_model(C=64, n_cls=8):
+    return AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=C),
+        future_predictor=AVTh(
+            in_features=C, inter_dim=64, n_layer=2, n_head=2,
+            output_len=1, avg_last_n=1, return_past_too=True,
+            embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+            future_pred_loss=lambda p, t: mse(p, t, reduction="none"),
+        ),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=C),
+        classifiers={"action": LinearClassifier(out_features=n_cls)},
+        num_classes=(("action", n_cls),),
+        backbone_dim=C,
+        dropout=0.0,
+        classifier_on_past=True,
+    )
+
+
+def test_build_optimizer_groups_and_frozen():
+    model = _tiny_model()
+    video = jnp.zeros((2, 6, 64, 1, 1, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video, (2,))
+    # freeze everything except the classifiers
+    tx, scheds = build_optimizer(
+        params,
+        lr_wd=[["classifiers_action", 0.1, 1e-4], ["__all__", 0.0, 0.0]],
+        optimizer_name="sgd",
+        scheduler_name="cosine",
+        iters_per_epoch=10,
+        num_epochs=2,
+    )
+    state = TrainState.create(params, tx)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state.opt_state, params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, leaf in flat:
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        moved = float(jnp.abs(leaf).sum()) > 0
+        if "classifiers_action" in path_str:
+            assert moved, f"{path_str} should train"
+        else:
+            assert not moved, f"{path_str} should be frozen"
+
+
+def test_train_smoke_loss_decreases():
+    """Overfit 16 synthetic clips: total loss must drop substantially."""
+    n_cls, C, B, T = 8, 64, 16, 6
+    model = _tiny_model(C, n_cls)
+    video = jnp.asarray(RNG.normal(size=(B, T, C, 1, 1, 1)).astype(np.float32))
+    target = {"action": jnp.asarray(RNG.integers(0, n_cls, size=(B,)))}
+    tsub = {"action": jnp.asarray(RNG.integers(0, n_cls, size=(B, T, 1)))}
+    params = model.init(jax.random.PRNGKey(0), video, (B,))
+    tx, _ = build_optimizer(
+        params,
+        lr_wd=[["__all__", 0.01, 1e-6]],
+        optimizer_name="sgd",
+        scheduler_name="constant",
+        iters_per_epoch=100,
+        num_epochs=1,
+        optimizer_kwargs={"nesterov": True},
+    )
+    step = make_train_step(
+        model, tx,
+        loss_wts={"cls_action": 1.0, "past_cls_action": 1.0, "feat": 1.0},
+        num_classes={"action": n_cls},
+        donate=False,
+    )
+    state = TrainState.create(params, tx)
+    batch = {"video": video, "target": target, "target_subclips": tsub}
+    state, m0 = step(state, batch, jax.random.PRNGKey(1))
+    for i in range(60):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    assert float(metrics["loss"]) < 0.5 * float(m0["loss"]), (
+        float(m0["loss"]), float(metrics["loss"]),
+    )
+    assert float(metrics["acc1/action"]) > 80.0
+    assert int(state.step) == 61
