@@ -12,8 +12,24 @@ from avt_tpu.models.future import AVTh, IdentityFuture, MLPFuture
 from avt_tpu.models.temporal_agg import IdentityAgg, MeanAgg, TransformerAgg
 from avt_tpu.models.classifiers import LinearClassifier, MLPClassifier
 from avt_tpu.models.backbones import IdentityBackbone
+from avt_tpu.models.vit import ViT
+from avt_tpu.models.import_torch import (
+    avt_checkpoint_to_flax,
+    gpt2_to_flax,
+    init_from_model,
+    load_torch_state_dict,
+    merge_params,
+    timm_vit_to_flax,
+)
 
 __all__ = [
+    "ViT",
+    "avt_checkpoint_to_flax",
+    "gpt2_to_flax",
+    "init_from_model",
+    "load_torch_state_dict",
+    "merge_params",
+    "timm_vit_to_flax",
     "AVTModel",
     "CLS_MAP_PREFIX",
     "PAST_LOGITS_PREFIX",

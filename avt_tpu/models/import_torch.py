@@ -1,0 +1,232 @@
+"""Torch checkpoint import: timm ViT / HF GPT-2 / full AVT state_dicts.
+
+Replaces the reference's init_model (func/train.py:457-497): load released
+torch checkpoints (timm ViT-B weights, AVT model zoo, VISSL trunks) onto
+our flax param pytrees, with per-module prefix remapping and silent
+shape-mismatch skip.
+
+Key layout transforms (the reference's "hard part" #4, SURVEY.md §7):
+  * torch nn.Linear weight (out, in)  -> flax Dense kernel (in, out): .T
+  * torch conv2d weight (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O)
+  * HF GPT-2 Conv1D weight is ALREADY (in, out): no transpose
+  * torch LayerNorm weight/bias -> flax scale/bias
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+LOG = logging.getLogger(__name__)
+
+
+def _t(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _set(tree: Dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value)
+
+
+def load_torch_state_dict(fpath: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into numpy, detecting the wrapper format.
+
+    Handles the reference's formats (func/train.py:467-477): raw state_dict,
+    {'model': sd}, {'state_dict': sd}, {'classy_state_dict': ...} (VISSL).
+    """
+    import torch
+
+    obj = torch.load(fpath, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        if "classy_state_dict" in obj:
+            obj = obj["classy_state_dict"]["base_model"]["model"]["trunk"]
+        elif "model" in obj and isinstance(obj["model"], dict):
+            obj = obj["model"]
+        elif "state_dict" in obj:
+            obj = obj["state_dict"]
+    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
+# ------------------------------------------------------------------ ViT
+def timm_vit_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
+    """timm vit_base_patch16_224 state_dict -> avt_tpu.models.vit.ViT params."""
+    p: Dict = {}
+    _set(p, "cls_token", sd["cls_token"])
+    _set(p, "pos_embed", sd["pos_embed"])
+    # (O, I, kh, kw) -> (kh, kw, I, O)
+    _set(p, "patch_embed/kernel",
+         np.transpose(np.asarray(sd["patch_embed.proj.weight"]), (2, 3, 1, 0)))
+    _set(p, "patch_embed/bias", sd["patch_embed.proj.bias"])
+    depth = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+    for i in range(depth):
+        src = f"blocks.{i}"
+        dst = f"blocks_{i}"
+        _set(p, f"{dst}/norm1/scale", sd[f"{src}.norm1.weight"])
+        _set(p, f"{dst}/norm1/bias", sd[f"{src}.norm1.bias"])
+        _set(p, f"{dst}/attn/qkv/kernel", _t(sd[f"{src}.attn.qkv.weight"]))
+        _set(p, f"{dst}/attn/qkv/bias", sd[f"{src}.attn.qkv.bias"])
+        _set(p, f"{dst}/attn/proj/kernel", _t(sd[f"{src}.attn.proj.weight"]))
+        _set(p, f"{dst}/attn/proj/bias", sd[f"{src}.attn.proj.bias"])
+        _set(p, f"{dst}/norm2/scale", sd[f"{src}.norm2.weight"])
+        _set(p, f"{dst}/norm2/bias", sd[f"{src}.norm2.bias"])
+        _set(p, f"{dst}/mlp_fc1/kernel", _t(sd[f"{src}.mlp.fc1.weight"]))
+        _set(p, f"{dst}/mlp_fc1/bias", sd[f"{src}.mlp.fc1.bias"])
+        _set(p, f"{dst}/mlp_fc2/kernel", _t(sd[f"{src}.mlp.fc2.weight"]))
+        _set(p, f"{dst}/mlp_fc2/bias", sd[f"{src}.mlp.fc2.bias"])
+    _set(p, "norm/scale", sd["norm.weight"])
+    _set(p, "norm/bias", sd["norm.bias"])
+    return p
+
+
+# ---------------------------------------------------------------- GPT-2
+def gpt2_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "") -> Dict:
+    """HF transformers GPT2Model state_dict -> GPT2Core params.
+
+    HF Conv1D weights are (in, out) already; LayerNorm weight -> scale.
+    """
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    p: Dict = {}
+    _set(p, "wpe", g("wpe.weight"))
+    depth = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(re.escape(prefix) + r"h\.(\d+)\.", k))
+    )
+    for i in range(depth):
+        src = f"h.{i}"
+        dst = f"h_{i}"
+        _set(p, f"{dst}/ln_1/scale", g(f"{src}.ln_1.weight"))
+        _set(p, f"{dst}/ln_1/bias", g(f"{src}.ln_1.bias"))
+        _set(p, f"{dst}/attn/qkv/kernel", g(f"{src}.attn.c_attn.weight"))
+        _set(p, f"{dst}/attn/qkv/bias", g(f"{src}.attn.c_attn.bias"))
+        _set(p, f"{dst}/attn/proj/kernel", g(f"{src}.attn.c_proj.weight"))
+        _set(p, f"{dst}/attn/proj/bias", g(f"{src}.attn.c_proj.bias"))
+        _set(p, f"{dst}/ln_2/scale", g(f"{src}.ln_2.weight"))
+        _set(p, f"{dst}/ln_2/bias", g(f"{src}.ln_2.bias"))
+        _set(p, f"{dst}/mlp_fc/kernel", g(f"{src}.mlp.c_fc.weight"))
+        _set(p, f"{dst}/mlp_fc/bias", g(f"{src}.mlp.c_fc.bias"))
+        _set(p, f"{dst}/mlp_proj/kernel", g(f"{src}.mlp.c_proj.weight"))
+        _set(p, f"{dst}/mlp_proj/bias", g(f"{src}.mlp.c_proj.bias"))
+    _set(p, "ln_f/scale", g("ln_f.weight"))
+    _set(p, "ln_f/bias", g("ln_f.bias"))
+    return p
+
+
+# ------------------------------------------------------------ AVT model
+def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Full reference BaseModel state_dict -> AVTModel params subtree."""
+    p: Dict = {}
+    vit_sd = {
+        k[len("backbone.model."):]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.model.")
+    }
+    if vit_sd:
+        p["backbone"] = timm_vit_to_flax(vit_sd)
+    gpt_sd = {
+        k[len("future_predictor.gpt_model."):]: v
+        for k, v in sd.items()
+        if k.startswith("future_predictor.gpt_model.")
+    }
+    if gpt_sd:
+        p.setdefault("future_predictor", {})["gpt"] = gpt2_to_flax(gpt_sd)
+    if "future_predictor.encoder.weight" in sd:
+        enc = sd["future_predictor.encoder.weight"]
+        if enc.ndim == 2 and "future_predictor.decoder.weight" in sd:
+            _set(p, "future_predictor/encoder/kernel", _t(enc))
+            _set(p, "future_predictor/decoder/kernel",
+                 _t(sd["future_predictor.decoder.weight"]))
+    for key, val in sd.items():
+        m = re.match(r"classifiers\.([^.]+)\.(weight|bias)", key)
+        if m:
+            task, kind = m.groups()
+            if kind == "weight":
+                _set(p, f"classifiers_{task}/fc/kernel", _t(val))
+            else:
+                _set(p, f"classifiers_{task}/fc/bias", val)
+    for name in ("mapper_to_inter", "reset_temp_agg_feat_dim"):
+        if f"{name}.weight" in sd:
+            _set(p, f"{name}/kernel", _t(sd[f"{name}.weight"]))
+        if f"{name}.bias" in sd:
+            _set(p, f"{name}/bias", sd[f"{name}.bias"])
+    return p
+
+
+# ------------------------------------------------------ partial loading
+def merge_params(
+    target: Dict,
+    source: Dict,
+    path: str = "",
+) -> Dict:
+    """Copy source leaves into target where names AND shapes match.
+
+    Shape mismatches are skipped with a warning (func/train.py:489-494:
+    'removing keys ... since size mismatch'); unknown keys warn too.
+    """
+    out = dict(target)
+    for key, val in source.items():
+        if key not in out:
+            LOG.warning("Unexpected key %s%s in checkpoint; skipped", path, key)
+            continue
+        if isinstance(val, Mapping) and isinstance(out[key], Mapping):
+            out[key] = merge_params(out[key], val, path + key + "/")
+        else:
+            tgt = np.asarray(out[key])
+            src = np.asarray(val)
+            if tgt.shape != src.shape:
+                LOG.warning(
+                    "Shape mismatch at %s%s: ckpt %s vs model %s; skipped",
+                    path, key, src.shape, tgt.shape,
+                )
+                continue
+            out[key] = src.astype(tgt.dtype)
+    return out
+
+
+def init_from_model(params: Dict, specs, loader=load_torch_state_dict) -> Dict:
+    """Reference-style partial init (func/train.py:669-688).
+
+    specs: list of (module_name, ckpt_module_prefix_or_None, ckpt_path).
+    module_name '' or None loads into the full model.
+    """
+    new_params = params
+    for spec in specs:
+        if len(spec) == 1:
+            module, ckpt_prefix, path = None, None, spec[0]
+        elif len(spec) == 2:
+            module, ckpt_prefix, path = spec[0], None, spec[1]
+        else:
+            module, ckpt_prefix, path = spec
+        sd = loader(path)
+        if ckpt_prefix:
+            sd = {
+                k[len(ckpt_prefix):]: v
+                for k, v in sd.items()
+                if k.startswith(ckpt_prefix)
+            }
+        converted = avt_checkpoint_to_flax(sd)
+        inner = new_params["params"] if "params" in new_params else new_params
+        if module:
+            sub = converted.get(module, converted)
+            if module not in inner:
+                LOG.warning("Module %s not in model params; skipped", module)
+                continue
+            merged = dict(inner)
+            merged[module] = merge_params(inner[module], sub)
+        else:
+            merged = merge_params(inner, converted)
+        new_params = (
+            {**new_params, "params": merged} if "params" in new_params else merged
+        )
+    return new_params

@@ -1,0 +1,126 @@
+"""Frame-level ViT backbone (AVT-b).
+
+Parity target: reference models/video_classification.py:213-257 — timm
+vit_base_patch16_224 run per frame (time folded into batch), num_classes=0
+so the per-frame feature is the class token after the final LayerNorm;
+output reshaped to (B, C', T, 1, 1) so it flows like a video feature map.
+
+TPU-first design choices:
+  * frames batch into one (B*T, 196+1, 768) attention problem — a single
+    big MXU-friendly matmul stream instead of a Python loop over frames;
+  * attention runs through avt_tpu.ops.dot_product_attention, which
+    dispatches to the Pallas flash kernel on TPU (197 tokens pad to 256);
+  * optional bfloat16 compute dtype (params stay f32) for MXU throughput.
+
+Weight layout matches timm's names one-to-one through
+avt_tpu.models.import_torch so released AVT/timm checkpoints load.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avt_tpu.ops import dot_product_attention
+
+
+class ViTAttention(nn.Module):
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        N, T, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(N, T, self.num_heads, head_dim)
+        k = k.reshape(N, T, self.num_heads, head_dim)
+        v = v.reshape(N, T, self.num_heads, head_dim)
+        out = dot_product_attention(q, k, v, causal=False)
+        out = out.reshape(N, T, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-6
+    drop_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + nn.Dropout(self.drop_rate, deterministic=not train)(
+            ViTAttention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        )
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)  # timm uses exact GELU
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_fc2")(h)
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        return x + h
+
+
+class ViT(nn.Module):
+    """Frame-level ViT: (B, 3, T, H, W) -> (B, embed_dim, T, 1, 1)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    ln_eps: float = 1e-6
+    dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 compute
+
+    @nn.compact
+    def __call__(self, video, *, train: bool = False):
+        B, C, T, H, W = video.shape
+        n_patches = (H // self.patch_size) * (W // self.patch_size)
+        # (B, 3, T, H, W) -> (B*T, H, W, 3): fold time into batch
+        x = video.transpose(0, 2, 3, 4, 1).reshape(B * T, H, W, C)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(B * T, n_patches, self.embed_dim)
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (B * T, 1, self.embed_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, n_patches + 1, self.embed_dim),
+        )
+        x = x + pos_embed.astype(x.dtype)
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        for i in range(self.depth):
+            x = ViTBlock(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                ln_eps=self.ln_eps,
+                drop_rate=self.drop_rate,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, train=train)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        feat = x[:, 0].astype(jnp.float32)  # class token, back to f32
+        # (B*T, C') -> (B, C', T, 1, 1)
+        return feat.reshape(B, T, self.embed_dim).transpose(0, 2, 1)[..., None, None]
+
+    output_dim = property(lambda self: self.embed_dim)

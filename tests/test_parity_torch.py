@@ -1,0 +1,251 @@
+"""Numerical parity vs the reference's actual building blocks (torch/HF).
+
+These tests pin our reimplementations to the exact modules the reference
+uses: transformers.GPT2Model for the AVT-h core (future_prediction.py:89-95)
+and a timm-equivalent ViT forward. Weights flow through the import layer,
+so these also validate the checkpoint converters.
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from avt_tpu.models.future import AVTh
+from avt_tpu.models.import_torch import (
+    avt_checkpoint_to_flax,
+    gpt2_to_flax,
+    merge_params,
+    timm_vit_to_flax,
+)
+from avt_tpu.models.layers import GPT2Core
+from avt_tpu.models.vit import ViT
+
+RNG = np.random.default_rng(0)
+
+
+def _hf_gpt2(n_embd=64, n_layer=2, n_head=2):
+    import transformers
+
+    cfg = transformers.GPT2Config(
+        n_embd=n_embd, n_layer=n_layer, n_head=n_head, vocab_size=16,
+        use_cache=True,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    return transformers.GPT2Model(cfg).eval()
+
+
+def test_gpt2core_matches_huggingface():
+    n_embd, n_layer, n_head = 64, 2, 2
+    hf = _hf_gpt2(n_embd, n_layer, n_head)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    flax_params = gpt2_to_flax(sd)
+
+    core = GPT2Core(
+        n_layer=n_layer, n_head=n_head,
+        embd_dropout=0.0, attn_dropout=0.0, resid_dropout=0.0,
+    )
+    x = RNG.normal(size=(2, 7, n_embd)).astype(np.float32)
+    init = core.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # all params must be covered by the conversion
+    merged = merge_params(init["params"], flax_params)
+    ours = core.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(x)).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+class _TorchAVTh(torch.nn.Module):
+    """The reference AVTh forward (future_prediction.py:112-251), rebuilt
+    verbatim on transformers.GPT2Model for parity checking."""
+
+    def __init__(self, in_features, inter_dim, n_layer, n_head, output_len,
+                 avg_last_n, return_past_too):
+        super().__init__()
+        import transformers
+
+        torch.manual_seed(1)
+        self.encoder = torch.nn.Linear(in_features, inter_dim, bias=False)
+        self.decoder = torch.nn.Linear(inter_dim, in_features, bias=False)
+        self.gpt_model = transformers.GPT2Model(
+            transformers.GPT2Config(
+                n_embd=inter_dim, vocab_size=in_features, use_cache=True,
+                n_layer=n_layer, n_head=n_head,
+                embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+            )
+        ).eval()
+        self.output_len = output_len
+        self.avg_last_n = avg_last_n
+        self.return_past_too = return_past_too
+
+    @torch.no_grad()
+    def forward(self, feats):
+        full_orig_feats = feats
+        inp_feats = feats
+        orig_feats_len = feats.size(1)
+        feats = self.encoder(feats)
+        past = None
+        all_outputs, all_decoded = [], []
+        for output_id in range(self.output_len):
+            pred_so_far = sum(el.size(1) for el in all_outputs)
+            position_ids = torch.arange(pred_so_far, pred_so_far + feats.size(1))
+            outputs = self.gpt_model(
+                inputs_embeds=feats, past_key_values=past,
+                position_ids=position_ids,
+            )
+            last_hidden_state = outputs.last_hidden_state
+            past = outputs.past_key_values
+            all_outputs.append(last_hidden_state)
+            all_decoded.append(self.decoder(last_hidden_state))
+            feats = last_hidden_state[:, -1:, :]
+        all_outputs = torch.cat(all_outputs, dim=1)
+        all_decoded = torch.cat(all_decoded, dim=1)
+        n = min(full_orig_feats.size(1), all_decoded.size(1))
+        feat_loss = torch.nn.functional.mse_loss(
+            all_decoded[:, : n - 1], full_orig_feats[:, 1:n], reduction="none"
+        )
+        prev = inp_feats
+        outs = all_decoded
+        if self.return_past_too:
+            final = torch.cat((prev, outs[:, orig_feats_len - 1:, :]), dim=1)
+        else:
+            final = outs[:, -self.output_len:]
+        if self.avg_last_n > 0:
+            final = torch.mean(final[:, -self.avg_last_n:, :], dim=1)
+        updated_past = torch.cat(
+            [prev[:, :1, :], outs[:, : orig_feats_len - 1]], dim=1
+        )
+        return updated_past, final, feat_loss
+
+
+@pytest.mark.parametrize("output_len,avg_last_n,return_past", [
+    (1, 1, True),   # the shipped expts/02 configuration
+    (3, -1, False),  # multi-step rollout
+    (2, 2, True),
+])
+def test_avth_matches_reference_on_gpt2(output_len, avg_last_n, return_past):
+    in_features, inter_dim, n_layer, n_head = 24, 32, 2, 2
+    ref = _TorchAVTh(in_features, inter_dim, n_layer, n_head,
+                     output_len, avg_last_n, return_past)
+    # build the AVT-style state dict and run it through the import layer
+    sd = {f"future_predictor.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()
+          if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")}
+    sd = {k.replace("future_predictor.gpt_model.", "future_predictor.gpt_model."): v
+          for k, v in sd.items()}
+    converted = avt_checkpoint_to_flax(sd)
+
+    model = AVTh(
+        in_features=in_features, inter_dim=inter_dim,
+        n_layer=n_layer, n_head=n_head,
+        output_len=output_len, avg_last_n=avg_last_n,
+        return_past_too=return_past,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        future_pred_loss=lambda p, t: (p - t) ** 2,
+    )
+    feats = RNG.normal(size=(2, 6, in_features)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    merged = merge_params(init["params"], converted["future_predictor"])
+    past, final, losses, _ = model.apply({"params": merged}, jnp.asarray(feats))
+
+    t_past, t_final, t_loss = ref(torch.from_numpy(feats))
+    np.testing.assert_allclose(np.asarray(past), t_past.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final), t_final.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(losses["feat"]), t_loss.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+class _TorchViTBlock(torch.nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = torch.nn.Linear(dim, dim * 3)
+        self.proj = torch.nn.Linear(dim, dim)
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = torch.nn.Linear(dim, dim * 4)
+        self.fc2 = torch.nn.Linear(dim * 4, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, T, C = x.shape
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, T, 3, self.heads, C // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        att = (q @ k.transpose(-2, -1)) / math.sqrt(C // self.heads)
+        att = att.softmax(dim=-1)
+        x = x + self.proj((att @ v).transpose(1, 2).reshape(B, T, C))
+        h = self.norm2(x)
+        x = x + self.fc2(torch.nn.functional.gelu(self.fc1(h)))
+        return x
+
+
+class _TorchViT(torch.nn.Module):
+    """timm vit forward (patch conv + cls + pos + blocks + norm, cls out)."""
+
+    def __init__(self, img=32, patch=16, dim=48, depth=2, heads=4):
+        super().__init__()
+        torch.manual_seed(2)
+        n = (img // patch) ** 2
+        self.proj = torch.nn.Conv2d(3, dim, patch, patch)
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = torch.nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+        self.blocks = torch.nn.ModuleList(
+            [_TorchViTBlock(dim, heads) for _ in range(depth)]
+        )
+        self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+
+    @torch.no_grad()
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)[:, 0]
+
+
+def test_vit_matches_torch_reference():
+    img, patch, dim, depth, heads = 32, 16, 48, 2, 4
+    ref = _TorchViT(img, patch, dim, depth, heads).eval()
+    # rename into timm convention for the converter
+    ren = {}
+    for k, v in ref.state_dict().items():
+        k2 = (
+            k.replace("proj.weight", "patch_embed.proj.weight")
+            .replace("proj.bias", "patch_embed.proj.bias")
+        )
+        k2 = k2.replace("blocks.", "blocks.")
+        k2 = k2.replace(".qkv.", ".attn.qkv.")
+        # per-block proj was renamed above globally; fix block-level names
+        ren[k2] = v.detach().numpy()
+    fixed = {}
+    for k, v in ren.items():
+        import re as _re
+
+        m = _re.match(r"blocks\.(\d+)\.patch_embed\.proj\.(weight|bias)", k)
+        if m:
+            k = f"blocks.{m.group(1)}.attn.proj.{m.group(2)}"
+        k = _re.sub(r"blocks\.(\d+)\.fc1\.", r"blocks.\1.mlp.fc1.", k)
+        k = _re.sub(r"blocks\.(\d+)\.fc2\.", r"blocks.\1.mlp.fc2.", k)
+        fixed[k] = v
+    flax_params = timm_vit_to_flax(fixed)
+
+    vit = ViT(img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+              num_heads=heads)
+    B, T = 2, 3
+    video = RNG.normal(size=(B, 3, T, img, img)).astype(np.float32)
+    init = vit.init(jax.random.PRNGKey(0), jnp.asarray(video))
+    merged = merge_params(init["params"], flax_params)
+    ours = vit.apply({"params": merged}, jnp.asarray(video))
+    assert ours.shape == (B, dim, T, 1, 1)
+    flat = video.transpose(0, 2, 1, 3, 4).reshape(B * T, 3, img, img)
+    refv = ref(torch.from_numpy(flat)).numpy().reshape(B, T, dim)
+    np.testing.assert_allclose(
+        np.asarray(ours[..., 0, 0]).transpose(0, 2, 1), refv, rtol=1e-4, atol=1e-4
+    )
