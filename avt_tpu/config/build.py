@@ -1,0 +1,271 @@
+"""Build runtime objects from a resolved config.
+
+This is the wiring the reference does inside func/train.py:539-844
+(transforms -> datasets -> loaders -> model -> param groups -> optimizer ->
+train_eval_op -> loops), expressed as pure builder functions over the
+composed config dict.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from avt_tpu.config.registry import instantiate, resolve_target
+
+LOG = logging.getLogger(__name__)
+
+DATASET_TRAIN_KEY = "dataset_train"
+DATASET_EVAL_KEY = "dataset_eval"
+
+
+# ------------------------------------------------------------------ data
+def build_preprocessor(data_cfg: Dict):
+    """Device-side preprocessing from a data config (raw-video path)."""
+    from avt_tpu.data.transforms import VideoPreprocessor
+
+    return VideoPreprocessor(
+        crop_size=data_cfg.get("crop_size"),
+        scale_h=data_cfg.get("scale_h", 256),
+        scale_w=data_cfg.get("scale_w", -1),
+        mean=data_cfg.get("mean"),
+        std=data_cfg.get("std"),
+        flip_p=data_cfg.get("flip_p", 0.5),
+        color_jitter_brightness=data_cfg.get("color_jitter_brightness", 0.0),
+        color_jitter_contrast=data_cfg.get("color_jitter_contrast", 0.0),
+        color_jitter_saturation=data_cfg.get("color_jitter_saturation", 0.0),
+        color_jitter_hue=data_cfg.get("color_jitter_hue", 0.0),
+        scale_pix_val=data_cfg.get("scale_pix_val", 1.0),
+        reverse_channels=data_cfg.get("reverse_channels", False),
+        eval_num_crops=data_cfg.get("eval_num_crops", 1),
+        eval_flip_crops=data_cfg.get("eval_flip_crops", False),
+    )
+
+
+def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
+    """Dataset from its config group + the data config.
+
+    Mirrors datasets/data.py:get_dataset + the kwargs BaseVideoDataset pulls
+    from the data cfg (num_frames -> frames_per_clip, subclips, seg labels).
+    """
+    cfg = dict(dataset_cfg)
+    reader_cfg = cfg.pop("reader_fn", None)
+    reader = (
+        instantiate(reader_cfg)
+        if reader_cfg is not None
+        else resolve_target("datasets.reader_fns.DefaultReader")()
+    )
+    conv_cfg = cfg.pop("conv_to_anticipate_fn", None)
+    conv = instantiate(conv_cfg, _partial_=True) if conv_cfg else None
+    subclips = dict(data_cfg.get("subclips") or {})
+    num_frames = data_cfg.get("num_frames", 16)
+    subclips_options = {
+        "num_frames": subclips.get("num_frames") or num_frames,
+        "stride": subclips.get("stride") or num_frames,
+    }
+    kwargs = dict(
+        frames_per_clip=num_frames,
+        frame_rate=data_cfg.get("frame_rate"),
+        subclips_options=subclips_options,
+        load_seg_labels=data_cfg.get("load_seg_labels", False),
+        reader=reader,
+        transform=transform,
+        conv_to_anticipate_fn=conv,
+    )
+    kwargs.update({k: v for k, v in cfg.items() if k != "_target_"})
+    target = resolve_target(cfg["_target_"])
+    return target(**{k: v for k, v in kwargs.items() if v is not None or k in (
+        "frame_rate", "transform", "conv_to_anticipate_fn")})
+
+
+def build_all_datasets(cfg: Dict) -> Tuple[list, Dict[str, Any]]:
+    """All dataset_train* (concatenated conceptually) and dataset_eval*
+    keyed by suffix (func/train.py:586-599)."""
+    train = [
+        build_dataset(cfg[k], cfg["data_train"])
+        for k in sorted(cfg) if k.startswith(DATASET_TRAIN_KEY)
+    ]
+    evals = {
+        k[len(DATASET_EVAL_KEY):]: build_dataset(cfg[k], cfg["data_eval"])
+        for k in sorted(cfg) if k.startswith(DATASET_EVAL_KEY)
+    }
+    return train, evals
+
+
+# ----------------------------------------------------------------- model
+_BACKBONE_DIMS = {"avt_tpu.models.ViT": 768}
+
+
+def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
+    """AVTModel from cfg['model'] (reference BaseModel.__init__ wiring)."""
+    from avt_tpu.losses import MSELoss
+    from avt_tpu.models import (
+        AVTh,
+        AVTModel,
+        IdentityAgg,
+        IdentityBackbone,
+        LinearClassifier,
+        MeanAgg,
+        MLPClassifier,
+        MLPFuture,
+        IdentityFuture,
+        TransformerAgg,
+        ViT,
+    )
+
+    mcfg = cfg["model"]
+
+    def sub(group: str) -> Dict:
+        c = dict(mcfg[group])
+        c.pop("pretrained", None)  # weight init handled by init_from_model
+        return c
+
+    # backbone
+    bcfg = sub("backbone")
+    btarget = bcfg.pop("_target_")
+    if btarget == "avt_tpu.models.IdentityBackbone":
+        backbone = IdentityBackbone()
+        backbone_dim = mcfg["backbone_dim"]
+    elif btarget == "avt_tpu.models.ViT":
+        backbone = ViT(**bcfg)
+        backbone_dim = _BACKBONE_DIMS[btarget]
+    else:
+        raise NotImplementedError(
+            f"Backbone {btarget} lands in a later milestone"
+        )
+    inter_dim = mcfg.get("intermediate_featdim") or backbone_dim
+
+    def build_agg(group: str, in_features: int):
+        c = sub(group)
+        t = c.pop("_target_")
+        cls = {
+            "avt_tpu.models.IdentityAgg": IdentityAgg,
+            "avt_tpu.models.MeanAgg": MeanAgg,
+            "avt_tpu.models.TransformerAgg": TransformerAgg,
+        }.get(t)
+        if cls is None:
+            raise NotImplementedError(f"Aggregator {t} not available yet")
+        return cls(in_features=in_features, **c)
+
+    temporal_aggregator = build_agg("temporal_aggregator", inter_dim)
+    agg_dim = getattr(temporal_aggregator, "output_dim", inter_dim)
+    if mcfg.get("same_temp_agg_dim") and agg_dim != inter_dim:
+        agg_dim_out = inter_dim
+    else:
+        agg_dim_out = agg_dim
+
+    # future predictor
+    fcfg = sub("future_predictor")
+    ftarget = fcfg.pop("_target_")
+    fcfg.pop("future_pred_loss_wt", None)  # inert in the reference too
+    if ftarget == "avt_tpu.models.AVTh":
+        loss_cfg = fcfg.pop("future_pred_loss", None)
+        floss = (
+            instantiate(loss_cfg, reduction="none") if loss_cfg else None
+        )
+        future_predictor = AVTh(
+            in_features=agg_dim_out, future_pred_loss=floss, **fcfg
+        )
+    elif ftarget == "avt_tpu.models.IdentityFuture":
+        future_predictor = IdentityFuture(in_features=agg_dim_out)
+    elif ftarget == "avt_tpu.models.MLPFuture":
+        future_predictor = MLPFuture(in_features=agg_dim_out, **fcfg)
+    else:
+        raise NotImplementedError(ftarget)
+    fut_dim = future_predictor.output_dim
+
+    after_agg = build_agg("temporal_aggregator_after_future_pred", fut_dim)
+    cls_input_dim = getattr(after_agg, "output_dim", fut_dim)
+
+    # classifiers (first task only when marginalizing via class mappings)
+    ccfg = sub("classifier")
+    ctarget = ccfg.pop("_target_")
+    cls_cls = {
+        "avt_tpu.models.LinearClassifier": LinearClassifier,
+        "avt_tpu.models.MLPClassifier": MLPClassifier,
+    }[ctarget]
+    classifiers = {}
+    for i, (task, n) in enumerate(num_classes.items()):
+        if mcfg.get("use_cls_mappings") and i > 0:
+            break
+        classifiers[task] = cls_cls(out_features=n, **ccfg)
+
+    return AVTModel(
+        backbone=backbone,
+        temporal_aggregator=temporal_aggregator,
+        future_predictor=future_predictor,
+        temporal_aggregator_after_future_pred=after_agg,
+        classifiers=classifiers,
+        num_classes=tuple(num_classes.items()),
+        class_mappings=tuple(
+            (k, np.asarray(v)) for k, v in class_mappings.items()
+        ),
+        backbone_dim=backbone_dim,
+        intermediate_featdim=mcfg.get("intermediate_featdim"),
+        temp_agg_output_dim=agg_dim,
+        same_temp_agg_dim=mcfg.get("same_temp_agg_dim", False),
+        project_dim_for_nce=mcfg.get("project_dim_for_nce"),
+        dropout=mcfg.get("dropout", 0.0),
+        use_cls_mappings=mcfg.get("use_cls_mappings", False),
+        classifier_on_past=mcfg.get("classifier_on_past", False),
+        add_regression_head=mcfg.get("add_regression_head", False),
+    )
+
+
+# ------------------------------------------------------------- optimizer
+def build_optimizer_from_cfg(
+    cfg: Dict, params, *, iters_per_epoch: int, world_size: int = 1
+):
+    from avt_tpu.train import build_optimizer
+
+    opt = cfg["opt"]
+    opt_cfg = dict(opt["optimizer"])
+    opt_name = opt_cfg.pop("name")
+    sched_cfg = dict(opt["scheduler"])
+    sched_name = sched_cfg.pop("name")
+    lr_wd = opt["lr_wd"]
+    if opt.get("classifier_only"):
+        lr_wd = [["classifiers", lr, wd] for _, lr, wd in lr_wd]
+    sched_kwargs = {}
+    if sched_name == "cosine":
+        sched_kwargs["eta_min"] = sched_cfg.get("eta_min", 0.0)
+        num_epochs = sched_cfg.get("num_epochs", cfg["train"]["num_epochs"])
+    elif sched_name == "warmup_multi_step":
+        sched_kwargs.update(
+            milestone_epochs=sched_cfg.get("milestone_epochs", []),
+            gamma=sched_cfg.get("gamma", 0.1),
+            warmup_factor=sched_cfg.get("warmup_factor", 1.0 / 3),
+            scheduler_warmup_epochs=sched_cfg.get("warmup_epochs", 0),
+            warmup_method=sched_cfg.get("warmup_method", "linear"),
+        )
+        num_epochs = cfg["train"]["num_epochs"]
+    else:
+        num_epochs = cfg["train"]["num_epochs"]
+    # cosine config already subtracts warmup via the minus resolver; the
+    # builder passes it back through build_schedule's (num_epochs - warmup)
+    warmup_epochs = cfg["opt"]["warmup"].get("num_epochs", 0)
+    if sched_name == "cosine":
+        num_epochs = num_epochs + warmup_epochs  # build_schedule re-subtracts
+    return build_optimizer(
+        params,
+        lr_wd,
+        optimizer_name=opt_name,
+        scheduler_name=sched_name,
+        iters_per_epoch=iters_per_epoch,
+        num_epochs=num_epochs,
+        world_size=world_size,
+        batch_size=cfg["train"]["batch_size"],
+        scale_lr_by_bs=opt.get("scale_lr_by_bs", False),
+        bias_bn_wd_scale=opt.get("bias_bn_wd_scale", 1.0),
+        grad_clip_max_norm=(opt.get("grad_clip") or {}).get("max_norm"),
+        warmup_epochs=warmup_epochs,
+        warmup_init_lr_ratio=cfg["opt"]["warmup"].get("init_lr_ratio", 0.0),
+        optimizer_kwargs=opt_cfg,
+        scheduler_kwargs=sched_kwargs,
+    )
+
+
+def loss_weights(cfg: Dict) -> Dict[str, float]:
+    return dict(cfg["train"]["train_one_epoch_fn"]["loss_wts"])

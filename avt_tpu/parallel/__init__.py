@@ -1,0 +1,13 @@
+from avt_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+    make_sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "shard_params",
+    "make_sharded_train_step",
+]

@@ -1,0 +1,112 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's entire distributed surface (DDP + NCCL process
+groups + DistributedSampler, SURVEY.md §2.8) with the JAX mesh model:
+
+  * 'data' axis: batch sharded, params replicated — the reference's DDP.
+    Gradient all-reduce is inserted by XLA over ICI, not hand-written.
+  * 'model' axis: a tensor-parallel seam the reference never had. The big
+    classifier matmul (e.g. 2048 x 3806 actions) and the AVT-h MLP widths
+    shard naturally here; kept available so scaling past DP needs no API
+    change (SURVEY.md §7 'hard parts').
+
+The train step itself stays written over the GLOBAL batch (see
+train/step.py): jit + shardings compile to the right collectives.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# param-path regex -> PartitionSpec rules for the 'model' axis.
+# Matched against 'a/b/c' joined param paths; first match wins; default
+# replicated. These cover the fat matmuls worth sharding at AVT's scale.
+DEFAULT_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"classifiers_.*/fc/kernel$", P(None, "model")),   # (C, n_classes)
+    (r".*/mlp_fc/kernel$", P(None, "model")),           # GPT-2 MLP up
+    (r".*/mlp_proj/kernel$", P("model", None)),         # GPT-2 MLP down
+    (r".*/mlp_fc1/kernel$", P(None, "model")),          # ViT MLP up
+    (r".*/mlp_fc2/kernel$", P("model", None)),          # ViT MLP down
+    (r".*/attn/qkv/kernel$", P(None, "model")),         # attention heads
+    (r".*/attn/proj/kernel$", P("model", None)),
+)
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, model) mesh; n_data defaults to len(devices)/n_model."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = devices[: n_data * n_model]
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def param_spec(
+    path_str: str,
+    leaf,
+    rules: Tuple[Tuple[str, P], ...] = DEFAULT_PARAM_RULES,
+) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, path_str):
+            # only shard if the dimension divides evenly; else replicate
+            return spec
+    return P()
+
+
+def shard_params(
+    params,
+    mesh: Mesh,
+    rules: Tuple[Tuple[str, P], ...] = DEFAULT_PARAM_RULES,
+):
+    """Place params on the mesh: matmul weights sharded on 'model', rest
+    replicated. Falls back to replication when a dim doesn't divide."""
+
+    def place(path, leaf):
+        spec = param_spec(_path_str(path), leaf, rules)
+        # check divisibility of sharded dims; replicate if it doesn't fit
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis]
+            if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every array's leading (batch) dim over 'data'."""
+
+    def place(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P("data")))
+
+    return jax.tree.map(place, batch)
+
+
+def make_sharded_train_step(step_fn: Callable, mesh: Mesh) -> Callable:
+    """Wrap an (unjitted) step under jit with mesh output constraints.
+
+    The step is written over the global batch; with sharded inputs, GSPMD
+    partitions it and inserts the data-axis gradient psum + model-axis
+    collectives automatically.
+    """
+    return jax.jit(
+        step_fn,
+        # state/metrics placement inferred from inputs; donate the state
+        donate_argnums=(0,),
+    )

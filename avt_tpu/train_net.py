@@ -1,0 +1,181 @@
+"""Training entry point.
+
+Parity target: reference train_net.py + func/train.py:539-844 (main):
+compose config from conf/ + overrides, build datasets/loaders/model/
+optimizer, auto-resume, run the epoch loop with eval every eval_freq, or
+test_only evaluation.
+
+Usage:
+  python -m avt_tpu.train_net key=value [+key=value ...]
+  python -m avt_tpu.train_net --config-file expts/02_ek100_avt_tsn.txt \
+      [--run-dir OUTPUTS/x/0] [extra overrides]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from avt_tpu.config import (
+    Composer,
+    expand_sweeps,
+    parse_override,
+    parse_overrides_file,
+)
+from avt_tpu.config.build import (
+    build_all_datasets,
+    build_model,
+    build_optimizer_from_cfg,
+    loss_weights,
+)
+from avt_tpu.utils import get_logger
+
+CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
+
+
+def main(cfg: Dict, work_dir: str = ".") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from avt_tpu.data.loader import DataLoader
+    from avt_tpu.evaluate import evaluate
+    from avt_tpu.models.import_torch import init_from_model
+    from avt_tpu.train import TrainState, make_eval_step, make_train_step
+    from avt_tpu.train.loop import run_training
+
+    logger = get_logger("avt_tpu.train")
+    seed = cfg.get("seed", 42)
+    np.random.seed(seed)
+
+    train_datasets, eval_datasets = build_all_datasets(cfg)
+    if len(train_datasets) != 1:
+        raise NotImplementedError("multi-train-dataset concat: next round")
+    train_dataset = train_datasets[0]
+    num_classes = {k: len(v) for k, v in train_dataset.classes.items()}
+    class_mappings = train_dataset.class_mappings
+
+    world_size = jax.process_count()
+    batch_size = cfg["train"]["batch_size"] * jax.local_device_count()
+    eval_bs = (cfg["eval"].get("batch_size") or cfg["train"]["batch_size"])
+    eval_bs *= jax.local_device_count()
+    keys = ["video", "target", "target_subclips", "idx", "uid"]
+    train_loader = DataLoader(
+        train_dataset,
+        batch_size,
+        shuffle=cfg["train"].get("shuffle_data", True),
+        drop_last=True,
+        num_workers=cfg["data_train"].get("workers", 8),
+        seed=seed,
+        rank=jax.process_index(),
+        world_size=world_size,
+        keys=keys,
+    )
+    eval_loaders = {
+        suffix: DataLoader(
+            ds, eval_bs, shuffle=False, drop_last=False,
+            num_workers=cfg["data_eval"].get("workers", 8),
+            rank=jax.process_index(), world_size=world_size, keys=keys,
+        )
+        for suffix, ds in eval_datasets.items()
+    }
+
+    model = build_model(cfg, num_classes, class_mappings)
+    batch0 = next(iter(train_loader))
+    video0 = jnp.asarray(batch0["video"])
+    params = model.init(
+        jax.random.PRNGKey(seed), video0,
+        next(iter(batch0["target"].values())).shape,
+    )
+    if cfg["train"].get("init_from_model"):
+        params = init_from_model(params, cfg["train"]["init_from_model"])
+
+    iters_per_epoch = max(len(train_loader), 1)
+    tx, _ = build_optimizer_from_cfg(
+        cfg, params, iters_per_epoch=iters_per_epoch,
+        world_size=jax.device_count(),
+    )
+    train_step = make_train_step(
+        model, tx, loss_weights(cfg), num_classes=num_classes,
+    )
+    eval_step = make_eval_step(
+        model, num_classes=num_classes,
+        store_endpoint=cfg["eval"]["eval_fn"].get("store_endpoint", "logits"),
+    )
+    state = TrainState.create(params, tx)
+
+    def eval_fn(state, epoch):
+        return evaluate(
+            eval_step, state.params, eval_loaders,
+            save_dir=work_dir, epoch=epoch,
+            store=cfg["eval"]["eval_fn"].get("store", True),
+            only_run_featext=cfg["eval"]["eval_fn"].get(
+                "only_run_featext", False),
+            logger=logger, rank=jax.process_index(),
+        )
+
+    if cfg.get("test_only"):
+        return eval_fn(state, 0.0)
+
+    tcfg = cfg["train"]["train_one_epoch_fn"]
+    state = run_training(
+        train_step=train_step,
+        state=state,
+        train_loader=train_loader,
+        eval_fn=eval_fn if eval_loaders else None,
+        num_epochs=cfg["train"]["num_epochs"],
+        ckpt_dir=work_dir,
+        eval_freq=cfg["train"].get("eval_freq", 1),
+        store_best=cfg["train"].get("store_best", False),
+        save_freq=tcfg.get("save_freq"),
+        save_freq_min=tcfg.get("save_freq_min"),
+        save_intermediates=tcfg.get("save_intermediates", False),
+        seed=seed,
+        logger=logger,
+        rank=jax.process_index(),
+    )
+    return eval_fn(state, float(cfg["train"]["num_epochs"])) if eval_loaders else 0.0
+
+
+def cli(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--config-file", default=None,
+                        help="TXT experiment file of overrides")
+    parser.add_argument("--conf-dir", default=str(CONF_DIR))
+    parser.add_argument("--run-dir", default=None,
+                        help="Work dir (default OUTPUTS/<expt>/<run_id>)")
+    parser.add_argument("--run-id", type=int, default=None,
+                        help="Pick one sweep variant; default: run all")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    overrides = []
+    if args.config_file:
+        overrides += parse_overrides_file(args.config_file)
+    overrides += [parse_override(o) for o in args.overrides]
+    variants = expand_sweeps(overrides)
+    composer = Composer(args.conf_dir)
+    logger = get_logger("avt_tpu.train")
+    results = []
+    for run_id, variant in enumerate(variants):
+        if args.run_id is not None and run_id != args.run_id:
+            continue
+        cfg = composer.compose("config", variant)
+        if args.run_dir:
+            work_dir = args.run_dir
+        else:
+            expt = (
+                Path(args.config_file).stem if args.config_file else "default"
+            )
+            work_dir = os.path.join("OUTPUTS", expt, str(run_id))
+        os.makedirs(work_dir, exist_ok=True)
+        logger.info("Run %d -> %s", run_id, work_dir)
+        results.append(main(cfg, work_dir))
+    return results
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,115 @@
+"""Config system tests: override grammar, composition, expts parity."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from avt_tpu.config import (
+    Composer,
+    expand_sweeps,
+    instantiate,
+    parse_override,
+    parse_overrides_file,
+    register_target,
+)
+
+CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
+EXPTS_DIR = Path(__file__).resolve().parent.parent / "expts"
+
+
+def test_parse_override_forms():
+    o = parse_override("train.batch_size=64")
+    assert o.key == "train.batch_size" and o.value == 64 and not o.add
+    o = parse_override("+model.future_predictor.n_head=4")
+    assert o.add and o.value == 4
+    o = parse_override("dataset@dataset_train=epic_kitchens100/anticipation_train")
+    assert o.group == "dataset" and o.key == "dataset_train"
+    assert o.value == "epic_kitchens100/anticipation_train"
+    o = parse_override("opt.lr_wd=[[__all__,0.001,0.000001]]")
+    assert o.value == [["__all__", 0.001, 0.000001]]
+    assert o.sweep_values is None  # commas inside brackets are not sweeps
+    o = parse_override("fold=1,2,3")
+    assert o.sweep_values == ["1", "2", "3"]
+    o = parse_override(
+        "+dataset_train.reader_fn={_target_: x.Y, lmdb_path: ${a.b}/rgb/}"
+    )
+    assert o.value["_target_"] == "x.Y"
+
+
+def test_sweep_expansion_cartesian():
+    ovs = [parse_override("a=1,2"), parse_override("+b=x"), parse_override("c=5,6")]
+    variants = expand_sweeps(ovs)
+    assert len(variants) == 4
+    vals = [(v[0].value, v[2].value) for v in variants]
+    assert (1, 5) in vals and (2, 6) in vals
+
+
+def test_compose_root_defaults():
+    cfg = Composer(CONF_DIR).compose("config", [])
+    assert cfg["train"]["batch_size"] == 16
+    assert cfg["model"]["temporal_aggregator"]["_target_"] == "avt_tpu.models.MeanAgg"
+    assert cfg["model"]["temporal_aggregator_after_future_pred"]["_target_"].endswith(
+        "IdentityAgg"
+    )
+    assert cfg["dataset_train"]["_target_"] == "datasets.epic_kitchens.EPICKitchens"
+    # interpolation resolved: tau_a flows from the common group
+    assert cfg["dataset_train"]["conv_to_anticipate_fn"]["tau_a"] == 1.0
+    assert cfg["data_train"]["num_frames"] == 16
+    # ${cwd} resolver
+    assert "${" not in str(cfg["dataset_train"]["annotation_path"])
+
+
+def test_compose_expts02_parity_values():
+    """The shipped expts/02 file composes to the reference's hyperparams."""
+    overrides = parse_overrides_file(EXPTS_DIR / "02_ek100_avt_tsn.txt")
+    cfg = Composer(CONF_DIR).compose("config", overrides)
+    assert cfg["train"]["batch_size"] == 64
+    assert cfg["train"]["num_epochs"] == 50
+    fp = cfg["model"]["future_predictor"]
+    assert fp["_target_"] == "avt_tpu.models.AVTh"
+    assert fp["n_layer"] == 6 and fp["n_head"] == 4 and fp["inter_dim"] == 2048
+    assert fp["output_len"] == 1 and fp["avg_last_n"] == 1
+    assert fp["future_pred_loss"]["_target_"] == "torch.nn.MSELoss"
+    assert cfg["model"]["backbone"]["_target_"] == "avt_tpu.models.IdentityBackbone"
+    assert cfg["model"]["backbone_dim"] == 1024
+    assert cfg["model"]["classifier_on_past"] is True
+    assert cfg["opt"]["lr_wd"] == [["__all__", 0.001, 0.000001]]
+    assert cfg["opt"]["optimizer"]["nesterov"] is True
+    assert cfg["opt"]["scheduler"]["name"] == "cosine"
+    # ${minus:...} resolver: cosine spans 50-20 epochs
+    assert cfg["opt"]["scheduler"]["num_epochs"] == 30
+    assert cfg["opt"]["warmup"]["num_epochs"] == 20
+    assert cfg["data_train"]["num_frames"] == 10
+    assert cfg["data_train"]["subclips"]["num_frames"] == 1
+    assert cfg["dataset_train"]["sample_strategy"] == "last_clip"
+    assert cfg["dataset_train"]["conv_to_anticipate_fn"]["tau_o"] == 10
+    assert cfg["dataset_train"]["conv_to_anticipate_fn"]["drop_style"] == "correct"
+    rf = cfg["dataset_train"]["reader_fn"]
+    assert rf["_target_"] == "datasets.epic_kitchens.EpicRULSTMFeatsReader"
+    assert rf["lmdb_path"].endswith("/rgb/")
+    assert cfg["dataset_train"]["label_type"] == "action"
+    # loss weights: cls + feat + past_cls_action at 1.0
+    wts = cfg["train"]["train_one_epoch_fn"]["loss_wts"]
+    assert wts["feat"] == 1.0 and wts["past_cls_action"] == 1.0
+
+
+def test_add_requires_plus():
+    with pytest.raises(KeyError):
+        Composer(CONF_DIR).compose("config", ["model.nonexistent_key=5"])
+    cfg = Composer(CONF_DIR).compose("config", ["+model.nonexistent_key=5"])
+    assert cfg["model"]["nonexistent_key"] == 5
+
+
+def test_registry_instantiate():
+    calls = {}
+
+    @register_target("tests.Dummy")
+    def dummy(a, b=2):
+        calls["args"] = (a, b)
+        return a + b
+
+    assert instantiate({"_target_": "tests.Dummy", "a": 1}) == 3
+    p = instantiate({"_target_": "tests.Dummy", "b": 5}, _partial_=True)
+    assert p(a=1) == 6
+    with pytest.raises(KeyError):
+        instantiate({"_target_": "no.such.Thing"})

@@ -1,0 +1,157 @@
+"""Full-stack integration: config file -> train_net.main on synthetic data.
+
+Drives the complete reference pipeline shape (expts/02 topology) through
+the REAL config path: TXT overrides -> compose -> registry instantiation
+of EpicKitchens + NpyFeatsReader + convert_to_anticipation -> model build
+-> jitted training -> eval H5 -> AR5.
+"""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from avt_tpu.config import Composer, parse_override, parse_overrides_file
+from avt_tpu.train_net import main
+
+CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
+
+N_CLS = 6
+C = 16
+FPS = 30.0
+
+
+@pytest.fixture(scope="module")
+def ek_tree(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ek")
+    annot = tmp / "annot"
+    annot.mkdir()
+    (annot / "EPIC_100_verb_classes.csv").write_text(
+        "id,key\n" + "\n".join(f"{i},v{i}" for i in range(3))
+    )
+    (annot / "EPIC_100_noun_classes.csv").write_text(
+        "id,key\n" + "\n".join(f"{i},n{i}" for i in range(2))
+    )
+    (annot / "actions.csv").write_text(
+        "id,verb,noun,action\n"
+        + "\n".join(f"{i},{i % 3},{i % 2},a{i}" for i in range(N_CLS))
+    )
+    rng = np.random.default_rng(0)
+    rows_tr, rows_ev = [], []
+    feats = tmp / "feats"
+    feats.mkdir()
+    uid = 0
+    for v in range(3):
+        n_frames = 9000
+        arr = rng.normal(scale=0.3, size=(n_frames, C)).astype(np.float32)
+        t = 20.0
+        while t < n_frames / FPS - 20:
+            cls = int(rng.integers(N_CLS))
+            lo, hi = int((t - 12) * FPS), int(t * FPS)
+            arr[lo:hi, cls] += 3.0
+            line = f"{uid},P0{v}_01,{int(t*FPS)},{int((t+2)*FPS)},{cls%3},{cls%2},{cls}"
+            (rows_ev if v == 2 else rows_tr).append(line)
+            uid += 1
+            t += 15.0
+        np.save(feats / f"P0{v}_01.npy", arr)
+    (annot / "training.csv").write_text("\n".join(rows_tr))
+    (annot / "validation.csv").write_text("\n".join(rows_ev))
+    return tmp
+
+
+def test_train_net_main_expts02_topology(ek_tree, tmp_path):
+    overrides = [
+        "train.batch_size=2",  # per-device; x8 virtual devices = 16 global
+        "eval.batch_size=2",
+        "train.num_epochs=4",
+        "train.eval_freq=4",
+        "train.train_one_epoch_fn.loss_wts.feat=1.0",
+        "train.train_one_epoch_fn.loss_wts.past_cls_action=1.0",
+        "train.train_one_epoch_fn.save_freq_min=null",
+        "model/backbone=identity",
+        f"model.backbone_dim={C}",
+        "model/temporal_aggregator=identity",
+        "model/future_predictor=avth",
+        "model.dropout=0.1",
+        "model.classifier_on_past=true",
+        "+model.future_predictor.n_head=2",
+        "+model.future_predictor.n_layer=2",
+        "+model.future_predictor.inter_dim=32",
+        "+model.future_predictor.output_len=1",
+        "+model.future_predictor.avg_last_n=1",
+        "+model.future_predictor.return_past_too=true",
+        "+model.future_predictor.future_pred_loss={_target_: torch.nn.MSELoss}",
+        "opt/scheduler=cosine",
+        "opt.lr_wd=[[__all__,0.01,0.000001]]",
+        "opt.optimizer.nesterov=true",
+        "opt.warmup.num_epochs=1",
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_train.subclips.num_frames=1",
+        "data_train.subclips.stride=1",
+        "data_train.workers=4",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "data_eval.subclips.num_frames=1",
+        "data_eval.subclips.stride=1",
+        "data_eval.workers=4",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        "dataset_train.conv_to_anticipate_fn.tau_a=1",
+        "dataset_train.conv_to_anticipate_fn.tau_o=10",
+        "dataset_eval.conv_to_anticipate_fn.tau_a=1",
+        "dataset_eval.conv_to_anticipate_fn.tau_o=10",
+        # synthetic data wiring (RULSTM-format csv + npy feature store)
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose("config", [parse_override(o) for o in overrides])
+    work_dir = str(tmp_path / "run")
+    os.makedirs(work_dir)
+    metric = main(cfg, work_dir)
+    # EK100 primary metric is AR5 (%); the synthetic task is learnable
+    assert metric > 60.0, metric
+    # checkpoint + results written
+    assert os.path.exists(os.path.join(work_dir, "checkpoint"))
+    assert os.path.exists(os.path.join(work_dir, "results", "0.h5"))
+
+
+def test_train_net_test_only(ek_tree, tmp_path):
+    """test_only=true short-circuits to evaluation."""
+    overrides = [
+        "test_only=true",
+        "train.batch_size=1",
+        f"model.backbone_dim={C}",
+        "model/backbone=identity",
+        "model/temporal_aggregator=mean",
+        # default subclips = the whole clip -> one clip, mean over frames
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose("config", [parse_override(o) for o in overrides])
+    work_dir = str(tmp_path / "run_testonly")
+    os.makedirs(work_dir)
+    metric = main(cfg, work_dir)
+    assert 0.0 <= metric <= 100.0

@@ -1,0 +1,95 @@
+"""Device preprocessing tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avt_tpu.data.transforms import VideoPreprocessor, color_jitter
+
+RNG = np.random.default_rng(5)
+
+
+def _frames(B=2, T=4, H=64, W=86):
+    return jnp.asarray(
+        RNG.integers(0, 256, size=(B, T, H, W, 3)).astype(np.uint8)
+    )
+
+
+def test_train_fn_shapes_and_range():
+    pp = VideoPreprocessor(
+        crop_size=32, scale_h="36-44", scale_w=-1,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), flip_p=0.5,
+    )
+    out = pp.train_fn(_frames(), jax.random.PRNGKey(0))
+    assert out.shape == (2, 3, 4, 32, 32)
+    # normalized with mean=std=0.5: range ~[-1, 1]
+    assert float(jnp.min(out)) >= -1.001 and float(jnp.max(out)) <= 1.001
+
+
+def test_train_fn_randomness_differs_per_clip_and_rng():
+    pp = VideoPreprocessor(crop_size=32, scale_h="36-44", scale_w=-1, flip_p=0.5)
+    f = _frames()
+    o1 = pp.train_fn(f, jax.random.PRNGKey(0))
+    o2 = pp.train_fn(f, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_eval_fn_center_crop_identity_on_exact_size():
+    """No resize (scale == input smaller side), center crop == slice."""
+    H = W = 40
+    frames = jnp.asarray(RNG.integers(0, 256, size=(1, 2, H, W, 3)).astype(np.uint8))
+    pp = VideoPreprocessor(
+        crop_size=32, scale_h=40, scale_w=-1,
+        mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), eval_num_crops=1,
+    )
+    out = pp.eval_fn(frames)
+    assert out.shape == (1, 1, 3, 2, 32, 32)
+    ref = np.asarray(frames, dtype=np.float32)[0, :, 4:36, 4:36, :] / 255.0
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0]).transpose(1, 2, 3, 0), ref, atol=1e-6
+    )
+
+
+def test_eval_fn_three_crops_and_flips():
+    pp = VideoPreprocessor(
+        crop_size=32, scale_h=36, scale_w=-1,
+        eval_num_crops=3, eval_flip_crops=True,
+    )
+    out = pp.eval_fn(_frames())
+    assert out.shape == (2, 6, 3, 4, 32, 32)
+    # flipped copies mirror the unflipped ones on W
+    np.testing.assert_allclose(
+        np.asarray(out[:, 3]), np.asarray(out[:, 0])[..., ::-1], atol=1e-6
+    )
+
+
+def test_reverse_channels_and_scale_pix():
+    frames = _frames(1, 1, 40, 40)
+    pp = VideoPreprocessor(
+        crop_size=40, scale_h=40, scale_w=-1, scale_pix_val=255.0,
+        reverse_channels=True, mean=(0, 0, 0), std=(1, 1, 1),
+        eval_num_crops=1,
+    )
+    out = np.asarray(pp.eval_fn(frames))  # (1,1,3,1,40,40)
+    raw = np.asarray(frames, dtype=np.float32)[0, 0]
+    np.testing.assert_allclose(out[0, 0, 0, 0], raw[..., 2], atol=1e-4)
+    np.testing.assert_allclose(out[0, 0, 2, 0], raw[..., 0], atol=1e-4)
+
+
+def test_color_jitter_brightness_only():
+    x = jnp.full((2, 8, 8, 3), 0.25, dtype=jnp.float32)
+    out = color_jitter(x, jax.random.PRNGKey(0), brightness=0.4)
+    f = float(out[0, 0, 0, 0]) / 0.25
+    assert 0.6 - 1e-5 <= f <= 1.4 + 1e-5
+    # consistent across time
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-6)
+
+
+def test_train_fn_scale_jitter_changes_content_scale():
+    """With a wide scale range, different seeds give different crops."""
+    pp = VideoPreprocessor(crop_size=16, scale_h="20-60", scale_w=-1, flip_p=0.0)
+    f = _frames(1, 1, 64, 64)
+    outs = [np.asarray(pp.train_fn(f, jax.random.PRNGKey(i))) for i in range(4)]
+    diffs = [np.abs(outs[0] - o).mean() for o in outs[1:]]
+    assert all(d > 1e-3 for d in diffs)
