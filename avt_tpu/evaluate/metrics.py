@@ -29,6 +29,7 @@ def compute_topk(
     keep = np.isin(labels, list(classes))
     predictions = predictions[keep]
     labels = labels[keep]
+    k = min(k, predictions.shape[-1])  # tiny vocabularies: top-k == all
     top_predictions = np.argpartition(predictions, -k, axis=-1)[:, -k:]
     ratio_solved = np.mean(
         np.any(labels[:, np.newaxis] == top_predictions, axis=-1)
@@ -54,6 +55,7 @@ def topk_recall(
         cls_list = unique
     else:
         cls_list = np.intersect1d(np.asarray(list(classes)), unique)
+    k = min(k, scores.shape[-1])
     top_k = np.argpartition(scores, -k, axis=-1)[:, -k:]
     hit = np.any(labels[:, None] == top_k, axis=-1)
     recalls = 0.0

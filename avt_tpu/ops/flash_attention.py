@@ -38,50 +38,64 @@ def _round_up(x: int, m: int) -> int:
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, q_len, kv_len, block_k
 ):
-    """One q-block x all k-blocks, online softmax.
+    """G (batch*head) rows x one q-block x all k-blocks, online softmax.
 
-    Ref shapes: q (1, block_q, D), k/v (1, Tk_pad, D), o like q. The wrapper
-    collapses (batch, heads) into the leading dim so the trailing two block
-    dims (block_q, D) satisfy the TPU (8, 128) tiling rule.
+    Ref shapes: q (G, block_q, D), k/v (G, Tk_pad, D), o like q. The wrapper
+    collapses (batch, heads) into the leading dim and this kernel processes
+    G of them per program: at short sequence lengths (ViT's 197 tokens) the
+    per-program fixed cost dominates a 1-row grid, so batching rows into
+    each program is what makes the kernel beat the XLA path (which
+    materializes the full score tensor in HBM).
     """
-    block_q = q_ref.shape[1]
-    head_dim = q_ref.shape[-1]
+    G, block_q, head_dim = q_ref.shape
     kv_pad = k_ref.shape[1]
-    q = q_ref[0, :, :] * sm_scale  # (block_q, D)
     q_block_idx = pl.program_id(1)
     q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0
     )
-
-    m = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
-    l = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
-
     num_kb = kv_pad // block_k
-    for kb in range(num_kb):  # static loop; kv_pad is trace-time constant
-        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :]
-        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
-        s = jnp.dot(
-            q, k.T, preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = k_pos < kv_len
-        if causal:
-            mask = mask & (k_pos <= q_pos)
-        s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        m = m_new
-    # Rows that saw no valid key (fully masked padding rows) have l == 0.
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, :, :] = out.astype(o_ref.dtype)
+    for g in range(G):  # static unroll; all operands stay in VMEM
+        q = q_ref[g, :, :] * sm_scale  # (block_q, D)
+        m = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
+        l = jnp.zeros((block_q, 1), dtype=jnp.float32)
+        acc = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+        for kb in range(num_kb):  # static; kv_pad is trace-time constant
+            k = k_ref[g, kb * block_k : (kb + 1) * block_k, :]
+            v = v_ref[g, kb * block_k : (kb + 1) * block_k, :]
+            s = jnp.dot(
+                q, k.T, preferred_element_type=jnp.float32
+            )  # (block_q, block_k)
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = k_pos < kv_len
+            if causal:
+                mask = mask & (k_pos <= q_pos)
+            s = jnp.where(mask, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            m = m_new
+        # Rows that saw no valid key (fully masked padding rows) have l == 0.
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[g, :, :] = out.astype(o_ref.dtype)
+
+
+def _pick_group(n_rows: int, tk_pad: int, head_dim: int, itemsize: int) -> int:
+    """Rows (batch*head) per program: as many as fit a VMEM budget."""
+    # K+V+Q+O VMEM bytes per row; the last dim pads to 128 lanes and the
+    # pipeline double-buffers every block
+    lanes = max(head_dim, 128)
+    per_row = (2 * tk_pad + 2 * DEFAULT_BLOCK_Q) * lanes * max(itemsize, 2) * 2
+    budget = 6 * 1024 * 1024  # stay well under the ~16MB VMEM
+    g = max(1, min(n_rows, budget // max(per_row, 1)))
+    while n_rows % g != 0:  # grid must divide evenly
+        g -= 1
+    return g
 
 
 @functools.partial(
@@ -118,7 +132,8 @@ def flash_attention(
     kp = to_bh(k, tk_pad, Tk)
     vp = to_bh(v, tk_pad, Tk)
 
-    grid = (B * H, tq_pad // block_q)
+    G = _pick_group(B * H, tk_pad, D, q.dtype.itemsize)
+    grid = (B * H // G, tq_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel,
@@ -131,23 +146,23 @@ def flash_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, D),
+                (G, block_q, D),
                 lambda bh, i: (bh, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tk_pad, D),
+                (G, tk_pad, D),
                 lambda bh, i: (bh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tk_pad, D),
+                (G, tk_pad, D),
                 lambda bh, i: (bh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, D),
+            (G, block_q, D),
             lambda bh, i: (bh, i, 0),
             memory_space=pltpu.VMEM,
         ),

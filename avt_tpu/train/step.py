@@ -64,8 +64,10 @@ def make_train_step(
     num_classes: Mapping[str, int],
     class_weights: Optional[Mapping[str, jax.Array]] = None,
     donate: bool = True,
+    jit_compile: bool = True,
 ) -> Callable:
-    """Build the jitted train step.
+    """Build the jitted train step (jit_compile=False returns the raw fn,
+    e.g. for wrapping in make_multi_step).
 
     batch: {'video': (B, #clips, [#crops,] C, T, H, W),
             'target': {task: (B,)},
@@ -115,7 +117,138 @@ def make_train_step(
         metrics.update(accuracies)
         return new_state, metrics
 
+    if not jit_compile:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_ssl_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_wts: Mapping[str, float],
+    num_classes: Mapping[str, int],
+    reg_criterion: Callable,
+    *,
+    nfutures: int = 1,
+    future_target: str = "temp_agg_projected",
+    incur_loss_style: str = "separately",
+    combine_future_losses: str = "min",
+    cumulative_future: bool = False,
+    class_weights: Optional[Mapping[str, jax.Array]] = None,
+    use_cls_loss: bool = True,
+    donate: bool = True,
+    jit_compile: bool = True,
+) -> Callable:
+    """Self-supervised future-feature train step.
+
+    Parity target: reference func/train_eval_ops.py:148-231 (PredFutureFeat):
+    the observed clip and its nfutures future clips concat into one batch for
+    a single forward; classification losses apply to the observed half; a
+    regression/NCE loss ties outputs['future_projected'] to the future
+    clips' `future_target` features — per-future 'separately' (combined by
+    min/mean/max) or 'together' MIL-style.
+
+    batch keys: 'video', 'future_<i>_video' (i < nfutures), 'target',
+    optional 'target_subclips'.
+    """
+    import jax.numpy as _jnp
+
+    combine = {
+        "min": _jnp.min,
+        "max": _jnp.max,
+        "mean": _jnp.mean,
+        "sum": _jnp.sum,
+    }[combine_future_losses]
+
+    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        target = batch["target"]
+        B = next(iter(target.values())).shape[0]
+
+        def loss_fn(params):
+            all_videos = [batch["video"]] + [
+                batch[f"future_{i}_video"] for i in range(nfutures)
+            ]
+            video = _jnp.concatenate(all_videos, axis=0)
+            outputs_full, aux_losses = model.apply(
+                params, video, train=True,
+                rngs={"dropout": rng, "cloze": jax.random.fold_in(rng, 1)},
+            )
+            outputs = {k: v[:B] for k, v in outputs_full.items()}
+            if use_cls_loss:
+                tsub = batch.get("target_subclips")
+                if tsub is not None:
+                    tsub = {
+                        k: v.reshape(v.shape[0], v.shape[1], -1)
+                        for k, v in tsub.items()
+                    }
+                losses, accuracies = basic_loss_accuracy(
+                    outputs, target, tsub,
+                    num_classes=num_classes, class_weights=class_weights,
+                )
+            else:
+                losses, accuracies = {}, {}
+            # aux losses cover the full (obs+future) batch, as in the
+            # reference (train_eval_ops.py:200)
+            losses.update(aux_losses)
+            anchor = outputs["future_projected"]
+            if incur_loss_style == "separately":
+                reg_losses = []
+                for i in range(nfutures):
+                    fut = outputs_full[future_target][(i + 1) * B:(i + 2) * B]
+                    if cumulative_future:
+                        fut = _jnp.cumsum(fut, axis=0) / _jnp.arange(
+                            1, fut.shape[0] + 1, dtype=fut.dtype
+                        )[:, None]
+                    reg_losses.append(reg_criterion(anchor, fut))
+                losses["reg"] = combine(_jnp.stack(reg_losses))
+            elif incur_loss_style == "together":
+                fut = outputs_full[future_target][B:]
+                fut = fut.reshape((nfutures, B) + fut.shape[1:]).transpose(1, 0, 2)
+                losses["reg"] = reg_criterion(anchor, fut)
+            else:
+                raise NotImplementedError(incur_loss_style)
+            total, mean_losses = weighted_loss_sum(losses, loss_wts)
+            return total, (mean_losses, accuracies)
+
+        (total, (mean_losses, accuracies)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {"loss": total}
+        metrics.update({f"loss/{k}": v for k, v in mean_losses.items()})
+        metrics.update(accuracies)
+        return new_state, metrics
+
+    if not jit_compile:
+        return step_fn
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(step_fn: Callable, unroll_steps: int) -> Callable:
+    """Scan `unroll_steps` train steps inside ONE jitted dispatch.
+
+    Host->device dispatch has a fixed per-call cost (especially through
+    remote-tunnel runtimes); scanning k prefetched batches per dispatch
+    amortizes it. batches: a pytree whose leaves are stacked on a leading
+    (unroll_steps, ...) axis. Returns (state, metrics of the LAST step).
+    """
+
+    def multi(state, batches, rng):
+        def body(state, inp):
+            i, batch = inp
+            new_state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+            return new_state, metrics
+
+        idx = jnp.arange(unroll_steps)
+        state, metrics = jax.lax.scan(body, state, (idx, batches))
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(

@@ -1,0 +1,150 @@
+"""Marginalization / late fusion / submission packaging tests."""
+import json
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from avt_tpu.data import NpyFeatsReader, convert_to_anticipation
+from avt_tpu.data.epic_kitchens import EPIC100_VERSION, EpicKitchens
+from avt_tpu.evaluate.analysis import (
+    compute_accuracies_epic,
+    get_marginalized_scores,
+    late_fuse,
+    load_external_json,
+    package_results_for_submission_ek100,
+    scores_with_uids,
+    struct_outputs,
+)
+from avt_tpu.evaluate.results import store_append_h5
+
+RNG = np.random.default_rng(11)
+N_V, N_N, N_A = 3, 2, 6
+
+
+@pytest.fixture
+def ds(tmp_path):
+    annot = tmp_path / "annot"
+    annot.mkdir()
+    (annot / "EPIC_100_verb_classes.csv").write_text(
+        "id,key\n" + "\n".join(f"{i},v{i}" for i in range(N_V))
+    )
+    (annot / "EPIC_100_noun_classes.csv").write_text(
+        "id,key\n" + "\n".join(f"{i},n{i}" for i in range(N_N))
+    )
+    (annot / "actions.csv").write_text(
+        "id,verb,noun,action\n"
+        + "\n".join(f"{i},{i % N_V},{i % N_N},a{i}" for i in range(N_A))
+    )
+    rows = [
+        f"{100+i},P01_01,{600+i*300},{690+i*300},{i % N_V},{i % N_N},{i % N_A}"
+        for i in range(12)
+    ]
+    (annot / "val.csv").write_text("\n".join(rows))
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    np.save(feats / "P01_01.npy",
+            RNG.normal(size=(6000, 8)).astype(np.float32))
+    return EpicKitchens(
+        annotation_path=[str(annot / "val.csv")],
+        action_labels_fpath=str(annot / "actions.csv"),
+        annotation_dir=str(annot),
+        version=EPIC100_VERSION,
+        root=str(feats),
+        frames_per_clip=4,
+        frame_rate=1.0,
+        reader=NpyFeatsReader(str(feats), read_type="normal"),
+        label_type=["verb", "noun", "action"],
+        sample_strategy="last_clip",
+        conv_to_anticipate_fn=lambda d: convert_to_anticipation(d, 1.0, 10.0),
+    )
+
+
+def _perfect_action_scores(ds):
+    labels = ds.df.action_class.values
+    scores = np.full((len(labels), N_A), -5.0, np.float32)
+    scores[np.arange(len(labels)), labels] = 5.0
+    return scores
+
+
+def test_marginalization_from_stored_results(ds, tmp_path):
+    resdir = str(tmp_path / "results")
+    scores = _perfect_action_scores(ds)
+    store_append_h5(
+        {
+            "logits/action": scores,
+            "idx": np.arange(len(ds.df)),
+            "uid": ds.df.uid.values.astype("U"),
+            "target/action": ds.df.action_class.values,
+        },
+        resdir,
+    )
+    accs, sc = get_marginalized_scores(resdir, ds)
+    # perfect action scores -> perfect marginalized verb/noun too
+    assert accs["atop1"] == 100.0
+    assert accs["vtop1"] == 100.0 and accs["ntop1"] == 100.0
+    assert accs["arec5"] == 100.0
+    assert sc[0].shape == (len(ds.df), N_V)
+
+
+def test_late_fuse_weights(ds):
+    good = scores_with_uids(
+        [np.eye(N_V)[ds.df.verb_class.values] * 4,
+         np.eye(N_N)[ds.df.noun_class.values] * 4,
+         _perfect_action_scores(ds)], ds)
+    # adversarial scores: uniform wrong
+    bad_action = np.roll(_perfect_action_scores(ds), 1, axis=1)
+    bad = scores_with_uids(
+        [np.ones((len(ds.df), N_V)), np.ones((len(ds.df), N_N)), bad_action],
+        ds,
+    )
+    accs, combined = late_fuse([good, bad], weights=[2.0, 0.5], dataset=ds)
+    assert accs["atop1"] == 100.0  # good scores dominate at weight 2.0
+    assert set(combined[2].keys()) == {str(u) for u in ds.df.uid.values}
+
+
+def test_struct_outputs_and_packaging(ds, tmp_path):
+    scores = scores_with_uids(
+        [RNG.normal(size=(len(ds.df), N_V)),
+         RNG.normal(size=(len(ds.df), N_N)),
+         RNG.normal(size=(len(ds.df), N_A))], ds)
+    _, combined = late_fuse([scores], dataset=None)
+    out = struct_outputs(combined, ds)
+    assert out["challenge"] == "action_anticipation"
+    uid0 = str(ds.df.uid.values[0])
+    entry = out["results"][uid0]
+    assert len(entry["verb"]) == N_V
+    # action keys are 'verb,noun' pairs
+    assert all("," in k for k in entry["action"])
+
+    outdir = str(tmp_path / "challenge")
+    package_results_for_submission_ek100(combined, ds, outdir, uid_key="uid")
+    with open(os.path.join(outdir, "test.json")) as fin:
+        loaded = json.load(fin)
+    assert loaded["sls_pt"] == 1
+    with zipfile.ZipFile(os.path.join(outdir, "submit.zip")) as zf:
+        assert "test.json" in zf.namelist()
+
+
+def test_load_external_json_roundtrip(ds, tmp_path):
+    scores = scores_with_uids(
+        [softmax(RNG.normal(size=(len(ds.df), N_V))),
+         softmax(RNG.normal(size=(len(ds.df), N_N))),
+         softmax(RNG.normal(size=(len(ds.df), N_A)))], ds)
+    _, combined = late_fuse([scores], dataset=None)
+    out = struct_outputs(combined, ds)
+    fpath = tmp_path / "ext.json"
+    fpath.write_text(json.dumps(out))
+    loaded = load_external_json(
+        str(fpath), ds.verb_noun_to_action, [N_V, N_N, N_A]
+    )
+    uid0 = str(ds.df.uid.values[0])
+    np.testing.assert_allclose(loaded[0][uid0], combined[0][uid0], rtol=1e-6)
+    np.testing.assert_allclose(loaded[2][uid0], combined[2][uid0], rtol=1e-6)
+
+
+def softmax(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
