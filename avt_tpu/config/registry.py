@@ -47,6 +47,17 @@ def instantiate(cfg: Any, *args, _partial_: bool = False, **kwargs):
     return target(*args, **params)
 
 
+def _default_video_reader(**kwargs):
+    """Production raw-video reader: native libav decoder, OpenCV fallback."""
+    from avt_tpu.data.video_decoder import LibavVideoReader, have_native_decoder
+
+    if have_native_decoder():
+        return LibavVideoReader(**kwargs)
+    from avt_tpu.data.readers import OpenCVVideoReader
+
+    return OpenCVVideoReader(**kwargs)
+
+
 def _register_builtin_targets():
     """Alias the reference's target strings + our native names."""
     from avt_tpu.data.anticipation import (
@@ -75,7 +86,7 @@ def _register_builtin_targets():
             convert_to_anticipation,
         "datasets.base_video_dataset.dense_clip_sampler": dense_clip_sampler,
         "datasets.epic_kitchens.EpicRULSTMFeatsReader": LMDBFeatsReader,
-        "datasets.reader_fns.DefaultReader": OpenCVVideoReader,
+        "datasets.reader_fns.DefaultReader": _default_video_reader,
         "datasets.reader_fns.VideoAsLabelOnehotReader": VideoAsLabelOnehotReader,
         # losses
         "torch.nn.MSELoss": MSELoss,
@@ -87,6 +98,7 @@ def _register_builtin_targets():
         # native names
         "avt_tpu.data.EpicKitchens": EpicKitchens,
         "avt_tpu.data.NpyFeatsReader": NpyFeatsReader,
+        "avt_tpu.data.LibavVideoReader": _default_video_reader,
         "avt_tpu.data.LMDBFeatsReader": LMDBFeatsReader,
         "avt_tpu.data.convert_to_anticipation": convert_to_anticipation,
         "avt_tpu.losses.NormedMSE": NormedMSE,
