@@ -95,7 +95,16 @@ def build_all_datasets(cfg: Dict) -> Tuple[list, Dict[str, Any]]:
 
 
 # ----------------------------------------------------------------- model
-_BACKBONE_DIMS = {"avt_tpu.models.ViT": 768}
+_BACKBONE_DIMS = {
+    "avt_tpu.models.ViT": 768,
+    "avt_tpu.models.r3d_18": 512,
+    "avt_tpu.models.r2plus1d_18": 512,
+    "avt_tpu.models.r2plus1d_34": 512,
+    "avt_tpu.models.r2plus1d_152": 2048,
+    "avt_tpu.models.ir_csn_152": 2048,
+    "avt_tpu.models.ip_csn_152": 2048,
+    "avt_tpu.models.ip_csn_50": 2048,
+}
 
 
 def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
@@ -131,6 +140,17 @@ def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
     elif btarget == "avt_tpu.models.ViT":
         backbone = ViT(**bcfg)
         backbone_dim = _BACKBONE_DIMS[btarget]
+    elif btarget.rsplit(".", 1)[-1] in (
+        "r3d_18", "r2plus1d_18", "r2plus1d_34", "r2plus1d_152",
+        "ir_csn_152", "ip_csn_152", "ip_csn_50",
+    ):
+        import avt_tpu.models as _m
+
+        bn = cfg["model"].get("bn", {})
+        backbone = getattr(_m, btarget.rsplit(".", 1)[-1])(
+            bn_eps=bn.get("eps", 1e-3), bn_mom=bn.get("mom", 0.1)
+        )
+        backbone_dim = _BACKBONE_DIMS[f"avt_tpu.models.{btarget.rsplit('.', 1)[-1]}"]
     else:
         raise NotImplementedError(
             f"Backbone {btarget} lands in a later milestone"
@@ -140,10 +160,13 @@ def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
     def build_agg(group: str, in_features: int):
         c = sub(group)
         t = c.pop("_target_")
+        from avt_tpu.models import RULSTMAgg
+
         cls = {
             "avt_tpu.models.IdentityAgg": IdentityAgg,
             "avt_tpu.models.MeanAgg": MeanAgg,
             "avt_tpu.models.TransformerAgg": TransformerAgg,
+            "avt_tpu.models.RULSTMAgg": RULSTMAgg,
         }.get(t)
         if cls is None:
             raise NotImplementedError(f"Aggregator {t} not available yet")

@@ -71,11 +71,23 @@ def _register_builtin_targets():
         OpenCVVideoReader,
         VideoAsLabelOnehotReader,
     )
+    from avt_tpu.data.breakfast_50salads import (
+        Breakfast50Salads,
+        GZFormatReader,
+        NPYFormatReader,
+        SenerFeatsReader,
+        bundle_entry_to_video_fname_50salads,
+        bundle_entry_to_video_fname_breakfast,
+        read_abu_farha_annotations,
+        read_orig_50salads_annotations,
+        read_orig_breakfast_annotations,
+    )
     from avt_tpu.losses import (
         MSELoss,
         MultiDimCrossEntropy,
         MultiDimSimclrInfoNCE,
         NormedMSE,
+        QuantizeAndCrossEntropy,
         SimclrInfoNCE,
     )
 
@@ -92,6 +104,17 @@ def _register_builtin_targets():
         "torch.nn.MSELoss": MSELoss,
         "loss_fn.mse.NormedMSE": NormedMSE,
         "loss_fn.multidim_xentropy.MultiDimCrossEntropy": MultiDimCrossEntropy,
+        "loss_fn.multidim_xentropy.QuantizeAndCrossEntropy": QuantizeAndCrossEntropy,
+        "datasets.breakfast_50salads.Breakfast50Salads": Breakfast50Salads,
+        "datasets.breakfast_50salads.SenerFeatsReader": SenerFeatsReader,
+        "datasets.breakfast_50salads.GZFormatReader": GZFormatReader,
+        "datasets.breakfast_50salads.NPYFormatReader": NPYFormatReader,
+        "datasets.breakfast_50salads.read_abu_farha_annotations": read_abu_farha_annotations,
+        "datasets.breakfast_50salads.read_orig_50salads_annotations": read_orig_50salads_annotations,
+        "datasets.breakfast_50salads.read_orig_breakfast_annotations": read_orig_breakfast_annotations,
+        "datasets.breakfast_50salads.bundle_entry_to_video_fname_50salads": bundle_entry_to_video_fname_50salads,
+        "datasets.breakfast_50salads.bundle_entry_to_video_fname_breakfast": bundle_entry_to_video_fname_breakfast,
+        "avt_tpu.data.Breakfast50Salads": Breakfast50Salads,
         "loss_fn.simclr_infonce.DistributedSimclrInfoNCELoss": SimclrInfoNCE,
         "loss_fn.simclr_infonce.MultiDimDistributedSimclrInfoNCELoss":
             MultiDimSimclrInfoNCE,

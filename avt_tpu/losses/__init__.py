@@ -5,7 +5,8 @@ Mirrors the semantics of the reference's loss_fn/ package
 stateless functions over arrays so they compose with jax transforms and
 mesh collectives.
 """
-from avt_tpu.losses.xent import multidim_cross_entropy, MultiDimCrossEntropy
+from avt_tpu.losses.xent import (multidim_cross_entropy, MultiDimCrossEntropy,
+    quantize_and_cross_entropy, QuantizeAndCrossEntropy)
 from avt_tpu.losses.mse import normed_mse, mse, NormedMSE, MSELoss
 from avt_tpu.losses.infonce import (
     mil_cross_entropy,
@@ -17,6 +18,8 @@ from avt_tpu.losses.infonce import (
 __all__ = [
     "multidim_cross_entropy",
     "MultiDimCrossEntropy",
+    "quantize_and_cross_entropy",
+    "QuantizeAndCrossEntropy",
     "normed_mse",
     "mse",
     "NormedMSE",

@@ -71,6 +71,51 @@ def multidim_cross_entropy(
     raise ValueError(f"Unknown reduction {reduction!r}")
 
 
+def quantize_and_cross_entropy(
+    inp: jax.Array,
+    tgt: jax.Array,
+    centroids: jax.Array,
+    *,
+    norm: bool = True,
+    reduction: str = "none",
+) -> jax.Array:
+    """Project features onto k-means centroids, then cross-entropy.
+
+    Parity target: reference loss_fn/multidim_xentropy.py:28-54
+    (QuantizeAndCrossEntropy): L2-normalize input and target, input logits =
+    inp @ centroids.T, target class = nearest centroid of tgt.
+    """
+    if norm:
+        inp = inp / jnp.maximum(
+            jnp.linalg.norm(inp, axis=-1, keepdims=True), 1e-12
+        )
+        tgt = tgt / jnp.maximum(
+            jnp.linalg.norm(tgt, axis=-1, keepdims=True), 1e-12
+        )
+    logits = inp @ centroids.T
+    d = jnp.sum(centroids**2, axis=-1)[None] - 2.0 * tgt.reshape(
+        (-1, tgt.shape[-1])
+    ) @ centroids.T
+    tgt_ids = jnp.argmin(d, axis=-1).reshape(tgt.shape[:-1])
+    return multidim_cross_entropy(logits, tgt_ids, reduction=reduction)
+
+
+class QuantizeAndCrossEntropy:
+    """Config-instantiable wrapper; centroids load from a file path."""
+
+    def __init__(self, centroids_fpath, norm: bool = True, reduction: str = "none"):
+        from avt_tpu.models.cluster import load_centroids
+
+        self.centroids = jnp.asarray(load_centroids(centroids_fpath))
+        self.norm = norm
+        self.reduction = reduction
+
+    def __call__(self, inp, tgt):
+        return quantize_and_cross_entropy(
+            inp, tgt, self.centroids, norm=self.norm, reduction=self.reduction
+        )
+
+
 class MultiDimCrossEntropy:
     """Configurable wrapper so the config registry can instantiate it."""
 

@@ -9,10 +9,20 @@ identically to the reference ('logits/<task>', 'past_logits/<task>',
 """
 from avt_tpu.models.base import AVTModel, CLS_MAP_PREFIX, PAST_LOGITS_PREFIX
 from avt_tpu.models.future import AVTh, IdentityFuture, MLPFuture
-from avt_tpu.models.temporal_agg import IdentityAgg, MeanAgg, TransformerAgg
+from avt_tpu.models.temporal_agg import IdentityAgg, MeanAgg, RULSTMAgg, TransformerAgg
 from avt_tpu.models.classifiers import LinearClassifier, MLPClassifier
 from avt_tpu.models.backbones import IdentityBackbone
 from avt_tpu.models.vit import ViT
+from avt_tpu.models.video_resnet import (
+    VideoResNet,
+    ir_csn_152,
+    ip_csn_50,
+    ip_csn_152,
+    r2plus1d_18,
+    r2plus1d_34,
+    r2plus1d_152,
+    r3d_18,
+)
 from avt_tpu.models.import_torch import (
     avt_checkpoint_to_flax,
     gpt2_to_flax,
@@ -24,6 +34,14 @@ from avt_tpu.models.import_torch import (
 
 __all__ = [
     "ViT",
+    "VideoResNet",
+    "ir_csn_152",
+    "ip_csn_50",
+    "ip_csn_152",
+    "r2plus1d_18",
+    "r2plus1d_34",
+    "r2plus1d_152",
+    "r3d_18",
     "avt_checkpoint_to_flax",
     "gpt2_to_flax",
     "init_from_model",
@@ -39,6 +57,7 @@ __all__ = [
     "IdentityAgg",
     "MeanAgg",
     "TransformerAgg",
+    "RULSTMAgg",
     "LinearClassifier",
     "MLPClassifier",
     "IdentityBackbone",

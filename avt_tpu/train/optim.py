@@ -256,6 +256,10 @@ def build_optimizer(
     lr_scale = world_size * (batch_size if scale_lr_by_bs and batch_size else 1)
 
     def label_of(path_str: str, leaf) -> str:
+        # non-param variable collections (BN running stats) never train;
+        # they're updated by the mutable apply in the train step
+        if path_str.startswith("batch_stats/"):
+            return "frozen"
         for gi, (mods, lr, wd) in enumerate(groups):
             for mod in mods:
                 if (

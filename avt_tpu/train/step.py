@@ -80,14 +80,25 @@ def make_train_step(
         target = batch["target"]
         target_shape = next(iter(target.values())).shape
 
-        def loss_fn(params):
-            outputs, aux_losses = model.apply(
-                params,
-                batch["video"],
-                target_shape,
-                train=True,
-                rngs={"dropout": rng, "cloze": jax.random.fold_in(rng, 1)},
-            )
+        # BN backbones carry running stats in a 'batch_stats' collection:
+        # train mode updates them as a side output (mutable apply); their
+        # "grads" are exactly zero (train-mode BN uses batch statistics) and
+        # the optimizer freezes them (see build_optimizer's label rule).
+        has_batch_stats = isinstance(state.params, dict) and "batch_stats" in state.params
+
+        def loss_fn(variables):
+            rngs = {"dropout": rng, "cloze": jax.random.fold_in(rng, 1)}
+            if has_batch_stats:
+                (outputs, aux_losses), mut = model.apply(
+                    variables, batch["video"], target_shape, train=True,
+                    rngs=rngs, mutable=["batch_stats"],
+                )
+            else:
+                outputs, aux_losses = model.apply(
+                    variables, batch["video"], target_shape, train=True,
+                    rngs=rngs,
+                )
+                mut = {}
             tsub = batch.get("target_subclips")
             if tsub is not None:
                 # fold (B, #clips, T') -> (B, #clips*T') per reference's
@@ -102,13 +113,15 @@ def make_train_step(
             )
             losses.update(aux_losses)
             total, mean_losses = weighted_loss_sum(losses, loss_wts)
-            return total, (mean_losses, accuracies)
+            return total, (mean_losses, accuracies, mut)
 
-        (total, (mean_losses, accuracies)), grads = jax.value_and_grad(
+        (total, (mean_losses, accuracies, mut)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if has_batch_stats:
+            new_params = {**new_params, "batch_stats": mut["batch_stats"]}
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )

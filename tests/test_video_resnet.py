@@ -1,0 +1,85 @@
+"""Video resnet backbones: shapes, BN running stats, train-step updates."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avt_tpu.models import AVTModel, IdentityFuture, LinearClassifier, MeanAgg
+from avt_tpu.models.temporal_agg import IdentityAgg
+from avt_tpu.models.video_resnet import (
+    VideoResNet,
+    BasicBlock3D,
+    Bottleneck3D,
+    Conv2Plus1D,
+    Conv3DDepthwise,
+    IPConv3DDepthwise,
+    Conv3DSimple,
+    r2plus1d_18,
+)
+from avt_tpu.train import TrainState, build_optimizer, make_train_step
+
+RNG = np.random.default_rng(13)
+
+
+@pytest.mark.parametrize("block,maker,expansion", [
+    (BasicBlock3D, Conv3DSimple, 1),
+    (BasicBlock3D, Conv2Plus1D, 1),
+    (Bottleneck3D, Conv3DDepthwise, 4),
+    (Bottleneck3D, IPConv3DDepthwise, 4),
+])
+def test_video_resnet_shapes(block, maker, expansion):
+    net = VideoResNet(
+        block=block, conv_maker=maker, layers=(1, 1, 1, 1),
+        stem="basic_pool" if maker in (Conv3DDepthwise, IPConv3DDepthwise)
+        else "r2plus1d",
+    )
+    video = jnp.asarray(RNG.normal(size=(1, 3, 4, 64, 64)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), video)
+    out = net.apply(variables, video)
+    # stem /2 (+pool /2 for csn) then 3 stride-2 stages
+    assert out.shape[0] == 1 and out.shape[1] == 512 * expansion
+    assert "batch_stats" in variables
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_r2plus1d_18_in_avt_model_with_bn_updates():
+    model = AVTModel(
+        backbone=r2plus1d_18(),
+        temporal_aggregator=MeanAgg(in_features=512),
+        future_predictor=IdentityFuture(in_features=512),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=512),
+        classifiers={"action": LinearClassifier(out_features=7)},
+        num_classes=(("action", 7),),
+        backbone_dim=512,
+    )
+    video = jnp.asarray(RNG.normal(size=(2, 1, 3, 4, 64, 64)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), video, (2,))
+    assert "batch_stats" in variables
+    tx, _ = build_optimizer(
+        variables, lr_wd=[["__all__", 0.01, 1e-4]],
+        optimizer_name="sgd", scheduler_name="constant",
+        iters_per_epoch=10, num_epochs=1,
+    )
+    step = make_train_step(
+        model, tx, loss_wts={"cls_action": 1.0},
+        num_classes={"action": 7}, donate=False,
+    )
+    state = TrainState.create(variables, tx)
+    batch = {
+        "video": video,
+        "target": {"action": jnp.asarray(RNG.integers(0, 7, size=(2,)))},
+    }
+    stats_before = jax.tree.leaves(variables["batch_stats"])[0]
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    stats_after = jax.tree.leaves(state.params["batch_stats"])[0]
+    # running stats moved (mutable update ran)
+    assert not np.allclose(np.asarray(stats_before), np.asarray(stats_after))
+    # params moved too
+    p0 = jax.tree.leaves(variables["params"])[0]
+    p1 = jax.tree.leaves(state.params["params"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # eval path (running averages) works
+    out, _ = model.apply(state.params, video, train=False)
+    assert np.isfinite(np.asarray(out["logits/action"])).all()
