@@ -59,6 +59,13 @@ def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
     )
     conv_cfg = cfg.pop("conv_to_anticipate_fn", None)
     conv = instantiate(conv_cfg, _partial_=True) if conv_cfg else None
+    # dense clip sampling for SSL / feature extraction
+    dense_cfg = cfg.pop("sample_clips_densely_fn", None)
+    if cfg.pop("sample_clips_densely", False) and dense_cfg is None:
+        dense_cfg = {"_target_": "datasets.base_video_dataset.dense_clip_sampler"}
+    dense_fn = None
+    if dense_cfg is not None:
+        dense_fn = _build_dense_sampler(dict(dense_cfg), cfg.get("root", ""))
     subclips = dict(data_cfg.get("subclips") or {})
     num_frames = data_cfg.get("num_frames", 16)
     subclips_options = {
@@ -73,11 +80,56 @@ def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
         reader=reader,
         transform=transform,
         conv_to_anticipate_fn=conv,
+        sample_clips_densely_fn=dense_fn,
     )
+    ar_cfg = cfg.pop("annot_reader_fn", None)
+    if ar_cfg is not None:
+        ar = dict(ar_cfg)
+        bfn = ar.get("bundle_entry_to_vname_fn")
+        if isinstance(bfn, dict):
+            ar["bundle_entry_to_vname_fn"] = resolve_target(bfn["_target_"])
+        elif isinstance(bfn, str):
+            ar["bundle_entry_to_vname_fn"] = resolve_target(bfn)
+        kwargs["annot_reader_fn"] = instantiate(ar, _partial_=True)
     kwargs.update({k: v for k, v in cfg.items() if k != "_target_"})
     target = resolve_target(cfg["_target_"])
     return target(**{k: v for k, v in kwargs.items() if v is not None or k in (
         "frame_rate", "transform", "conv_to_anticipate_fn")})
+
+
+def _build_dense_sampler(dense_cfg: Dict, root) -> Any:
+    """dense_clip_sampler partial with video probing + per-process sharding
+    + feature-extraction resume (base_video_dataset.py:200-267 parity)."""
+    from avt_tpu.data.anticipation import dense_clip_sampler, get_abs_path
+
+    dense_cfg.pop("_target_", None)
+    featext_skip_done = dense_cfg.pop("featext_skip_done", False)
+    shard_per_worker = dense_cfg.pop("shard_per_worker", False)
+    rank, world = 0, 1
+    if shard_per_worker:
+        import jax
+
+        rank, world = jax.process_index(), jax.process_count()
+    skip_uids = set()
+    if featext_skip_done:
+        from avt_tpu.evaluate.results import read_saved_results_uids
+
+        skip_uids = read_saved_results_uids(f"./results/{rank}.h5")
+        LOG.info("featext resume: %d uids already done", len(skip_uids))
+    roots = [root] if isinstance(root, (str,)) else list(root or [""])
+
+    def video_len_fn(path):
+        from avt_tpu.data.video_decoder import get_video_info
+
+        return get_video_info(get_abs_path(roots, path))["len"]
+
+    return functools.partial(
+        dense_clip_sampler,
+        video_len_fn=video_len_fn,
+        shard=(rank, world),
+        skip_uids=skip_uids,
+        **dense_cfg,
+    )
 
 
 def build_all_datasets(cfg: Dict) -> Tuple[list, Dict[str, Any]]:

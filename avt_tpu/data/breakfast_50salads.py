@@ -51,9 +51,15 @@ def bundle_entry_to_video_fname_breakfast(bundle_entry, root):
     return video_fname, annot_fname
 
 
+def _default_video_info(path):
+    from avt_tpu.data.video_decoder import get_video_info
+
+    return get_video_info(path)
+
+
 def read_orig_50salads_annotations(
     videos: Sequence[str], root, action_classes: Dict[str, int],
-    annots_dir, timestamps_dir, video_info_fn,
+    annots_dir, timestamps_dir, video_info_fn=None,
 ):
     """Original 50Salads activityAnnotation files -> (video, s, e, label).
 
@@ -65,7 +71,9 @@ def read_orig_50salads_annotations(
     for video in videos:
         video_fname, annot_fname = bundle_entry_to_video_fname_50salads(video)
         video_id = video.strip()[len("rgb-"):-len(".txt")]
-        frame_rate = video_info_fn(Path(root) / video_fname)["fps"]
+        frame_rate = (video_info_fn or _default_video_info)(
+            Path(root) / video_fname
+        )["fps"]
         frame_ts = []
         with open(Path(timestamps_dir) / f"timestamps-{video_id}.txt") as fin:
             for line in fin:
@@ -126,7 +134,9 @@ def read_abu_farha_annotations(
         video_fname, _ = bundle_entry_to_vname_fn(video.strip(), root)
         fr = frame_rate
         if fr is None:
-            fr = video_info_fn(Path(root) / video_fname)["fps"]
+            fr = (video_info_fn or _default_video_info)(
+                Path(root) / video_fname
+            )["fps"]
         with open(Path(annots_dir) / video.strip(), "r") as fin:
             cur_action = ""
             for lno, line in enumerate(fin):

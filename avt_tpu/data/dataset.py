@@ -36,6 +36,32 @@ from avt_tpu.data.sampling import (
 )
 
 
+class ConcatDataset:
+    """Concatenation of datasets for multi-dataset training.
+
+    Parity: the reference concatenates all dataset_train* keys with torch's
+    ConcatDataset (func/train.py:586-593); class metadata comes from the
+    first dataset (they must share a label space).
+    """
+
+    def __init__(self, datasets: Sequence):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int):
+        ds_idx = int(np.searchsorted(self._offsets, idx, side="right"))
+        prev = 0 if ds_idx == 0 else int(self._offsets[ds_idx - 1])
+        return self.datasets[ds_idx][idx - prev]
+
+    def __getattr__(self, name):
+        # classes / classes_manyshot / class_mappings / primary_metric ...
+        return getattr(self.datasets[0], name)
+
+
 class VideoDataset:
     """Dataset of anticipation clips; indexable by int, yields NumPy dicts."""
 

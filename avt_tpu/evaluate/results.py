@@ -50,6 +50,18 @@ def store_append_h5(endpoints: Dict[str, np.ndarray], output_dir: str, rank: int
                 fout[key][-val.shape[0]:, ...] = val
 
 
+def read_saved_results_uids(resfpath) -> set:
+    """UIDs already present in a result file (feature-extraction resume;
+    reference base_video_dataset.py:191-197)."""
+    if not osp.exists(str(resfpath)):
+        return set()
+    with h5py.File(resfpath, "r") as fin:
+        if "uid" not in fin:
+            return set()
+        res = fin["uid"][()].tolist()
+    return {el.decode() if isinstance(el, bytes) else str(el) for el in res}
+
+
 def _allkeys(obj, prefix="") -> list:
     keys = []
     for key in obj.keys():

@@ -1,0 +1,95 @@
+"""Experiment launcher.
+
+Parity target: reference launch.py (305 LoC): reads a TXT override file,
+expands sweeps into run_id variants, launches training, plus utility modes
+(tensorboard, delete outputs, debug single-process).
+
+TPU-native deltas: there is no SLURM/submitit layer — a JAX SPMD program is
+one process per host, so "launching" is running train_net (optionally under
+a multi-host coordinator via JAX_COORDINATOR_ADDRESS + JAX_PROCESS_ID env,
+the jax.distributed.initialize convention). Cluster schedulers wrap this
+CLI; --print-cmd emits the per-host command for them.
+
+Usage:
+  python -m avt_tpu.launch -c expts/02_ek100_avt_tsn.txt        # run all
+  python -m avt_tpu.launch -c expts/02.txt -r 1                  # one variant
+  python -m avt_tpu.launch -c expts/02.txt -g                    # debug mode
+  python -m avt_tpu.launch -c expts/02.txt --tb                  # tensorboard
+  python -m avt_tpu.launch -c expts/02.txt --delete              # rm outputs
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+from avt_tpu.config.overrides import expand_sweeps, parse_overrides_file
+from avt_tpu.utils import get_logger
+
+OUTPUT_ROOT = "OUTPUTS"
+
+
+def output_dir_for(config_file: str) -> str:
+    return os.path.join(OUTPUT_ROOT, Path(config_file).stem)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--config-file", required=True)
+    parser.add_argument("-r", "--run-id", type=int, default=None,
+                        help="run only this sweep variant")
+    parser.add_argument("-g", "--debug", action="store_true",
+                        help="debug: data workers=0, tiny print freq")
+    parser.add_argument("-l", "--local", action="store_true",
+                        help="(default) run locally in this process")
+    parser.add_argument("--tb", action="store_true",
+                        help="launch tensorboard on the experiment outputs")
+    parser.add_argument("--delete", action="store_true",
+                        help="delete this experiment's outputs")
+    parser.add_argument("--print-cmd", action="store_true",
+                        help="print the per-host command and exit")
+    parser.add_argument("--profile", action="store_true",
+                        help="serve a jax.profiler trace server during the run")
+    parser.add_argument("extra", nargs="*", help="extra overrides")
+    args = parser.parse_args(argv)
+    logger = get_logger("avt_tpu.launch")
+    out_dir = output_dir_for(args.config_file)
+
+    if args.delete:
+        logger.info("Deleting %s", out_dir)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return
+    if args.tb:
+        subprocess.call(
+            [sys.executable, "-m", "tensorboard.main", "--logdir", out_dir]
+        )
+        return
+
+    variants = expand_sweeps(parse_overrides_file(args.config_file))
+    logger.info("%s expands to %d run(s)", args.config_file, len(variants))
+
+    extra = list(args.extra)
+    if args.debug:
+        extra += ["data_train.workers=0", "data_eval.workers=0"]
+    cmd_tail = ["-c", args.config_file] + extra
+    if args.run_id is not None:
+        cmd_tail += ["--run-id", str(args.run_id)]
+    if args.print_cmd:
+        print(" ".join([sys.executable, "-m", "avt_tpu.train_net"] + cmd_tail))
+        return
+    if args.profile:
+        import jax
+
+        jax.profiler.start_server(9999)
+        logger.info("jax.profiler trace server on :9999")
+
+    from avt_tpu.train_net import cli as train_cli
+
+    return train_cli(cmd_tail)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ from avt_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from avt_tpu.train.meters import MetricLogger
+from avt_tpu.train.meters import MetricLogger, make_tb_writer
 from avt_tpu.train.step import TrainState
 
 _JIT_KEYS = ("video", "target", "target_subclips")
@@ -48,9 +48,10 @@ def train_one_epoch(
     ckpt_dir: Optional[str] = None,
     last_saved_time: Optional[datetime.datetime] = None,
     rank: int = 0,
+    writer=None,
 ):
     """Run (the rest of) one epoch; returns (state, last_saved_time)."""
-    metric_logger = metric_logger or MetricLogger(logger=logger)
+    metric_logger = metric_logger or MetricLogger(logger=logger, writer=writer)
     batches_per_epoch = len(loader)
     partial_iters = int(batches_per_epoch * partial_epoch)
     last_saved_time = last_saved_time or datetime.datetime.now()
@@ -95,6 +96,10 @@ def train_one_epoch(
                 metric_logger.update(n=batch_size, **{k: float(v)})
             elif k.startswith("loss/"):
                 metric_logger.update(**{k: float(v)})
+        if step_id % print_freq == 0:
+            for k, v in metrics.items():
+                metric_logger.write_scalar(f"train_per_iter/{k}", float(v), step_id)
+    metric_logger.dump_to_tb(epoch)
     return state, last_saved_time
 
 
@@ -114,8 +119,10 @@ def run_training(
     seed: int = 42,
     logger=None,
     rank: int = 0,
+    tb_dir: Optional[str] = None,
 ) -> TrainState:
     """Full training driver with auto-resume (func/train.py:760-840)."""
+    writer = make_tb_writer(tb_dir, rank) if tb_dir else None
     start_epoch = 0.0
     if ckpt_dir:
         restored = restore_checkpoint(ckpt_dir, state)
@@ -144,6 +151,7 @@ def run_training(
             ckpt_dir=ckpt_dir,
             last_saved_time=last_saved,
             rank=rank,
+            writer=writer,
         )
         partial = 0.0
         if ckpt_dir:
@@ -153,6 +161,8 @@ def run_training(
             metric = eval_fn(state, float(epoch + 1))
             if logger:
                 logger.info("Epoch %d primary metric: %f", epoch + 1, metric)
+            if writer is not None:
+                writer.add_scalar("eval_per_epoch/primary_metric", metric, epoch + 1)
             if store_best and metric > best_metric and ckpt_dir:
                 best_metric = metric
                 save_checkpoint(

@@ -50,15 +50,43 @@ class SmoothedValue:
         )
 
 
+def make_tb_writer(log_dir: str, rank: int = 0):
+    """Rank-0-only tensorboardX writer (common/log.py:218-223 parity)."""
+    if rank != 0:
+        return None
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(log_dir=log_dir)
+    except ImportError:
+        return None
+
+
 class MetricLogger:
-    def __init__(self, delimiter: str = "  ", logger=None):
+    def __init__(self, delimiter: str = "  ", logger=None, writer=None,
+                 stat_set: str = "train"):
         self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
         self.delimiter = delimiter
         self.logger = logger
+        self.writer = writer
+        self.stat_set = stat_set
 
     def update(self, n: int = 1, **kwargs):
         for k, v in kwargs.items():
             self.meters[k].update(float(v), n=n)
+
+    def write_scalar(self, name: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(name, value, step)
+
+    def dump_to_tb(self, step: int):
+        """Per-meter TB dump (common/log.py:197-215 parity)."""
+        if self.writer is None:
+            return
+        for name, meter in self.meters.items():
+            self.writer.add_scalar(
+                f"metric_logger/{self.stat_set}/{name}", meter.avg, step
+            )
 
     def __getitem__(self, key) -> SmoothedValue:
         return self.meters[key]

@@ -52,9 +52,12 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     np.random.seed(seed)
 
     train_datasets, eval_datasets = build_all_datasets(cfg)
-    if len(train_datasets) != 1:
-        raise NotImplementedError("multi-train-dataset concat: next round")
-    train_dataset = train_datasets[0]
+    if len(train_datasets) == 1:
+        train_dataset = train_datasets[0]
+    else:
+        from avt_tpu.data.dataset import ConcatDataset
+
+        train_dataset = ConcatDataset(train_datasets)
     num_classes = {k: len(v) for k, v in train_dataset.classes.items()}
     class_mappings = train_dataset.class_mappings
 
@@ -136,6 +139,7 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         seed=seed,
         logger=logger,
         rank=jax.process_index(),
+        tb_dir=os.path.join(work_dir, "tb"),
     )
     return eval_fn(state, float(cfg["train"]["num_epochs"])) if eval_loaders else 0.0
 

@@ -1,0 +1,90 @@
+"""Launcher modes, dense clip sampler wiring, ConcatDataset, featext resume."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from avt_tpu.data import NpyFeatsReader, VideoDataset
+from avt_tpu.data.anticipation import dense_clip_sampler
+from avt_tpu.data.dataset import ConcatDataset
+from avt_tpu.evaluate.results import read_saved_results_uids, store_append_h5
+from avt_tpu.launch import main as launch_main, output_dir_for
+
+
+def _df(n=4, vp="V00.MP4"):
+    return pd.DataFrame(
+        [dict(uid=i + 1, video_path=vp, start=5.0 + 10 * i, end=7.0 + 10 * i,
+              verb_class=0, noun_class=0, action_class=i % 2,
+              participant_id="P0")
+         for i in range(n)]
+    )
+
+
+def test_dense_clip_sampler_shard_and_skip():
+    df = _df()
+    full, _ = dense_clip_sampler(
+        df.copy(), video_len_fn=lambda p: 50.0, clip_len=2.0, stride=10.0,
+        keep_orig_clips=False,
+    )
+    assert len(full) == 5  # ends at 0,10,20,30,40
+    assert (full.action_class == -1).all()
+    # sharding splits the videos across workers
+    df2 = pd.concat([_df(2, "V00.MP4"), _df(2, "V01.MP4")])
+    s0, _ = dense_clip_sampler(
+        df2.copy(), video_len_fn=lambda p: 50.0, clip_len=2.0, stride=10.0,
+        shard=(0, 2), keep_orig_clips=False,
+    )
+    s1, _ = dense_clip_sampler(
+        df2.copy(), video_len_fn=lambda p: 50.0, clip_len=2.0, stride=10.0,
+        shard=(1, 2), keep_orig_clips=False,
+    )
+    assert set(s0.video_id) == {"V00"} and set(s1.video_id) == {"V01"}
+    # skip_uids removes already-extracted clips (featext resume)
+    skip = {f"V00_{float(0.0)}", f"V00_{float(10.0)}"}
+    s2, _ = dense_clip_sampler(
+        df.copy(), video_len_fn=lambda p: 50.0, clip_len=2.0, stride=10.0,
+        skip_uids=skip, keep_orig_clips=False,
+    )
+    assert len(s2) == 3
+
+
+def test_read_saved_results_uids_roundtrip(tmp_path):
+    resdir = str(tmp_path)
+    store_append_h5(
+        {"uid": np.asarray(["a", "b"]), "idx": np.arange(2)}, resdir, rank=0
+    )
+    uids = read_saved_results_uids(os.path.join(resdir, "0.h5"))
+    assert uids == {"a", "b"}
+    assert read_saved_results_uids(os.path.join(resdir, "nope.h5")) == set()
+
+
+def test_concat_dataset(tmp_path):
+    arr = np.tile(np.arange(1, 3001, dtype=np.float32)[:, None], (1, 4))
+    np.save(tmp_path / "V00.npy", arr)
+    np.save(tmp_path / "V01.npy", arr)
+    mk = lambda vp: VideoDataset(  # noqa: E731
+        _df(3, vp), root=str(tmp_path), frames_per_clip=4, frame_rate=1.0,
+        reader=NpyFeatsReader(str(tmp_path), read_type="normal"),
+        label_type=["action"], sample_strategy="last_clip",
+        action_classes={"a": 0, "b": 1},
+    )
+    cat = ConcatDataset([mk("V00.MP4"), mk("V01.MP4")])
+    assert len(cat) == 6
+    assert cat[0]["uid"] == 1 and cat[3]["uid"] == 1
+    assert list(cat.classes.keys()) == ["action"]
+
+
+def test_launcher_print_cmd_and_delete(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    expt = tmp_path / "my_expt.txt"
+    expt.write_text("train.batch_size=4\nfold=1,2\n")
+    launch_main(["-c", str(expt), "--print-cmd", "-r", "1"])
+    out = capsys.readouterr().out
+    assert "avt_tpu.train_net" in out and "--run-id 1" in out
+    # delete mode removes the output dir
+    od = output_dir_for(str(expt))
+    os.makedirs(od, exist_ok=True)
+    (tmp_path / od / "junk.txt").write_text("x")
+    launch_main(["-c", str(expt), "--delete"])
+    assert not os.path.exists(od)
