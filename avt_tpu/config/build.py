@@ -191,7 +191,7 @@ def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
         backbone_dim = mcfg["backbone_dim"]
     elif btarget == "avt_tpu.models.ViT":
         backbone = ViT(**bcfg)
-        backbone_dim = _BACKBONE_DIMS[btarget]
+        backbone_dim = bcfg.get("embed_dim", _BACKBONE_DIMS[btarget])
     elif btarget.rsplit(".", 1)[-1] in (
         "r3d_18", "r2plus1d_18", "r2plus1d_34", "r2plus1d_152",
         "ir_csn_152", "ip_csn_152", "ip_csn_50",

@@ -227,13 +227,21 @@ class VideoDataset:
 
     # ------------------------------------------------------------- video
     def _apply_vid_transform(self, video: np.ndarray) -> np.ndarray:
+        """Host transform hook.
+
+        TPU-native contract: raw frames (T, H, W, 3 uint8) are returned
+        UNTRANSFORMED when no host transform is set — preprocessing (resize/
+        crop/normalize) runs on-device inside the jitted step
+        (data/transforms.py), and the subclip fold happens there too. The
+        reference instead runs torchvision transforms in loader workers.
+        """
         if video.size == 0:
             return video
         assert video.ndim == 4  # (T, H, W, C)
         if video.shape[1] > 1 and video.shape[2] > 1:
             if self.transform:
                 return self.transform(video)
-            return video
+            return video  # raw uint8 THWC for device-side preprocessing
         # Feature "videos" (T, 1, 1, C): only permute to (C, T, 1, 1).
         return np.ascontiguousarray(video.transpose(3, 0, 1, 2))
 
@@ -322,11 +330,13 @@ class VideoDataset:
                     fvid = self._get_subclips(fvid, **self.subclips_options)
                 out[f"{FUTURE_PREFIX}_{i}_video"] = fvid
 
+        raw_video = video.ndim == 4 and video.shape[-1] == 3 and video.shape[1] > 1
         secs = secs[None]  # (1, T)
         if self.subclips_options:
-            video = self._get_subclips(video, **self.subclips_options)
+            if not raw_video:
+                video = self._get_subclips(video, **self.subclips_options)
             secs = self._get_subclips(secs, **self.subclips_options)[:, 0]
-        else:
+        elif not raw_video:
             video = video[None]
         out.update(
             {

@@ -93,6 +93,27 @@ def color_jitter(
     return jnp.clip(x, 0.0, 1.0)
 
 
+def fold_subclips(video: jax.Array, num_frames: int, stride: int) -> jax.Array:
+    """(B, 3, T, H, W) -> (B, #clips, 3, num_frames, H, W).
+
+    Device-side equivalent of VideoDataset._get_subclips for the raw-video
+    path (the fold happens after on-device preprocessing). T must tile
+    exactly, as in the reference (torch.stack of ragged slices would fail
+    there too).
+    """
+    T = video.shape[2]
+    clips = [
+        video[:, :, i : i + num_frames]
+        for i in range(0, T - num_frames + 1, stride)
+    ]
+    if (T - num_frames) % stride != 0 or not clips:
+        raise ValueError(
+            f"subclips (num_frames={num_frames}, stride={stride}) must tile "
+            f"T={T} exactly"
+        )
+    return jnp.stack(clips, axis=1)
+
+
 class VideoPreprocessor:
     """Config-driven device preprocessing; see module docstring."""
 

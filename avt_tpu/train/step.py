@@ -65,9 +65,13 @@ def make_train_step(
     class_weights: Optional[Mapping[str, jax.Array]] = None,
     donate: bool = True,
     jit_compile: bool = True,
+    preprocess_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step (jit_compile=False returns the raw fn,
     e.g. for wrapping in make_multi_step).
+
+    preprocess_fn(video, rng) -> model-contract video runs INSIDE the jit
+    (raw-video path: device-side resize/crop/augment + subclip fold).
 
     batch: {'video': (B, #clips, [#crops,] C, T, H, W),
             'target': {task: (B,)},
@@ -86,16 +90,20 @@ def make_train_step(
         # the optimizer freezes them (see build_optimizer's label rule).
         has_batch_stats = isinstance(state.params, dict) and "batch_stats" in state.params
 
+        video = batch["video"]
+        if preprocess_fn is not None:
+            video = preprocess_fn(video, jax.random.fold_in(rng, 2))
+
         def loss_fn(variables):
             rngs = {"dropout": rng, "cloze": jax.random.fold_in(rng, 1)}
             if has_batch_stats:
                 (outputs, aux_losses), mut = model.apply(
-                    variables, batch["video"], target_shape, train=True,
+                    variables, video, target_shape, train=True,
                     rngs=rngs, mutable=["batch_stats"],
                 )
             else:
                 outputs, aux_losses = model.apply(
-                    variables, batch["video"], target_shape, train=True,
+                    variables, video, target_shape, train=True,
                     rngs=rngs,
                 )
                 mut = {}
@@ -269,6 +277,7 @@ def make_eval_step(
     num_classes: Mapping[str, int],
     class_weights: Optional[Mapping[str, jax.Array]] = None,
     store_endpoint: str = "logits",
+    preprocess_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted eval step.
 
@@ -280,8 +289,11 @@ def make_eval_step(
     def step_fn(params, batch) -> Dict[str, jax.Array]:
         target = batch["target"]
         target_shape = next(iter(target.values())).shape
+        video = batch["video"]
+        if preprocess_fn is not None:
+            video = preprocess_fn(video)
         outputs, aux_losses = model.apply(
-            params, batch["video"], target_shape, train=False
+            params, video, target_shape, train=False
         )
         tsub = batch.get("target_subclips")
         if tsub is not None:

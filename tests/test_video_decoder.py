@@ -102,9 +102,9 @@ def test_dataset_end_to_end_with_native_decoder(video, tmp_path):
         action_classes={"a0": 0},
     )
     item = ds[0]
-    # window = [0.5, 2.5]; 8 frames at 8 fps from the back
-    vid = item["video"]  # (1, T, H, W, C) raw -> no transform: (1, 8, 48, 64, 3)?
-    assert vid.shape[0] == 1
-    assert vid.shape[-1] == 3 or vid.shape[1] == 3
+    # raw-video path: (T, H, W, 3) uint8; preprocessing + subclip fold
+    # happen on-device inside the jitted step
+    vid = item["video"]
+    assert vid.shape == (8, 48, 64, 3) and vid.dtype == np.uint8
     secs = item["video_frame_sec"]
     assert float(secs.max()) <= 2.51
