@@ -192,6 +192,14 @@ def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
     elif btarget == "avt_tpu.models.ViT":
         backbone = ViT(**bcfg)
         backbone_dim = bcfg.get("embed_dim", _BACKBONE_DIMS[btarget])
+    elif btarget == "avt_tpu.models.BNInceptionVideo":
+        from avt_tpu.models import BNInceptionVideo
+
+        bn = cfg["model"].get("bn", {})
+        backbone = BNInceptionVideo(
+            bn_eps=bn.get("eps", 1e-3), bn_mom=bn.get("mom", 0.1)
+        )
+        backbone_dim = 1024
     elif btarget.rsplit(".", 1)[-1] in (
         "r3d_18", "r2plus1d_18", "r2plus1d_34", "r2plus1d_152",
         "ir_csn_152", "ip_csn_152", "ip_csn_50",

@@ -12,6 +12,7 @@ from avt_tpu.models.future import AVTh, IdentityFuture, MLPFuture
 from avt_tpu.models.temporal_agg import IdentityAgg, MeanAgg, RULSTMAgg, TransformerAgg
 from avt_tpu.models.classifiers import LinearClassifier, MLPClassifier
 from avt_tpu.models.backbones import IdentityBackbone
+from avt_tpu.models.bninception import BNInceptionVideo
 from avt_tpu.models.vit import ViT
 from avt_tpu.models.video_resnet import (
     VideoResNet,
@@ -61,4 +62,5 @@ __all__ = [
     "LinearClassifier",
     "MLPClassifier",
     "IdentityBackbone",
+    "BNInceptionVideo",
 ]

@@ -83,3 +83,15 @@ def test_r2plus1d_18_in_avt_model_with_bn_updates():
     # eval path (running averages) works
     out, _ = model.apply(state.params, video, train=False)
     assert np.isfinite(np.asarray(out["logits/action"])).all()
+
+
+def test_bninception_shapes():
+    from avt_tpu.models import BNInceptionVideo
+
+    net = BNInceptionVideo()
+    video = jnp.asarray(RNG.normal(size=(1, 3, 2, 96, 96)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), video)
+    out = net.apply(variables, video)
+    assert out.shape == (1, 1024, 2, 1, 1)
+    assert "batch_stats" in variables
+    assert np.isfinite(np.asarray(out)).all()
