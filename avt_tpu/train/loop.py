@@ -84,7 +84,10 @@ def train_one_epoch(
         t0 = time.time()
         jit_batch = {k: batch[k] for k in _JIT_KEYS if k in batch}
         step_rng = jax.random.fold_in(rng, step_id)
-        state, metrics = train_step(state, jit_batch, step_rng)
+        # xprof-visible step annotation (jax.profiler trace server is
+        # served by `avt_tpu.launch --profile`)
+        with jax.profiler.StepTraceAnnotation("train", step_num=step_id):
+            state, metrics = train_step(state, jit_batch, step_rng)
         loss = float(metrics["loss"])
         if math.isnan(loss):
             raise ValueError("The loss is NaN!")

@@ -20,7 +20,7 @@ import sys
 import time
 
 V100_CLIPS_PER_SEC_EST = 20.0
-B = 16          # clips per step
+B = 16          # clips per step (B=32 measured slower: HBM-bound)
 K = 8           # train steps per dispatch
 T, H, W = 10, 256, 342
 N_CLS = 3806
