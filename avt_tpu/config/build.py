@@ -24,9 +24,15 @@ DATASET_EVAL_KEY = "dataset_eval"
 # ------------------------------------------------------------------ data
 def build_preprocessor(data_cfg: Dict):
     """Device-side preprocessing from a data config (raw-video path)."""
+    import jax.numpy as jnp
+
     from avt_tpu.data.transforms import VideoPreprocessor
 
+    dtype = str(data_cfg.get("compute_dtype") or "float32")
     return VideoPreprocessor(
+        compute_dtype=(
+            jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+        ),
         crop_size=data_cfg.get("crop_size"),
         scale_h=data_cfg.get("scale_h", 256),
         scale_w=data_cfg.get("scale_w", -1),
@@ -325,6 +331,8 @@ def build_optimizer_from_cfg(
         )
         num_epochs = cfg["train"]["num_epochs"]
     else:
+        if sched_name == "reduce_lr_on_plateau":
+            sched_kwargs["min_lr"] = sched_cfg.get("min_lr", 0.0)
         num_epochs = cfg["train"]["num_epochs"]
     # cosine config already subtracts warmup via the minus resolver; the
     # builder passes it back through build_schedule's (num_epochs - warmup)

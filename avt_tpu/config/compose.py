@@ -144,6 +144,16 @@ class Composer:
                 # group switch: model/backbone=identity
                 loaded = self._load_group(ov.key, str(ov.value))
                 _set_path(cfg, ov.key.replace("/", "."), loaded, add=True)
+            elif (
+                isinstance(ov.value, str)
+                and not ov.value.startswith("$")
+                and not ov.add
+                and "." not in ov.key
+                and (self.conf_dir / ov.key).is_dir()
+            ):
+                # top-level group switch: train_eval_op=pred_future_feat
+                loaded = self._load_group(ov.key, str(ov.value))
+                _set_path(cfg, ov.key, loaded, add=True)
             else:
                 _set_path(cfg, ov.key, ov.value, add=ov.add)
         if resolve:

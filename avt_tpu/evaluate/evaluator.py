@@ -36,6 +36,7 @@ def evaluate(
     only_run_featext: bool = False,
     logger=None,
     rank: int = 0,
+    place_batch: Optional[Callable] = None,
 ) -> float:
     """Run evaluation over every loader; return the primary metric of the
     suffix-less ('') loader."""
@@ -43,12 +44,21 @@ def evaluate(
     for data_key, loader in data_loaders.items():
         metric_logger = MetricLogger(logger=logger)
         this_save_dir = os.path.join(save_dir, RESULTS_SAVE_DIR + data_key)
-        if store and not only_run_featext and rank == 0:
-            shutil.rmtree(this_save_dir, ignore_errors=True)
+        if store and not only_run_featext:
+            if rank == 0:
+                shutil.rmtree(this_save_dir, ignore_errors=True)
+            if jax.process_count() > 1:
+                # other ranks must not append before rank 0 clears the dir
+                # (reference barriers at func/train.py:300)
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("eval_clear" + data_key)
         for batch in metric_logger.log_every(
             loader, print_freq=50, header=f"[{data_key}] Test:", total=len(loader)
         ):
             jit_batch = {k: batch[k] for k in _JIT_KEYS if k in batch}
+            if place_batch is not None:
+                jit_batch = place_batch(jit_batch, 0)
             res = eval_step(params, jit_batch)
             res = jax.device_get(res)
             batch_size = next(iter(batch["target"].values())).shape[0]

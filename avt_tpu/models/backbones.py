@@ -2,7 +2,8 @@
 
 The identity backbone serves pre-extracted-feature configs (the reference's
 conf/model/backbone/identity.yaml). The frame-level ViT (AVT-b) lives in
-vit.py; 3D convnets (R(2+1)D, CSN) come in a later round.
+vit.py; 3D convnets (R(2+1)D, CSN) in video_resnet.py; BN-Inception (TSN)
+in bninception.py.
 """
 from __future__ import annotations
 

@@ -16,8 +16,9 @@ Replication quirks kept on purpose (they are what the reference trained):
   * linear layers outside the GPT core init to N(0, 0.01), bias 0
     (base_model.py:110-127); the GPT core keeps its own 0.02 init.
 
-Multi-crop eval (video with a #crops dim) averages outputs and losses over
-crops — vmapped here rather than a Python loop.
+Multi-crop eval (video with a #crops dim) runs forward_singlecrop per crop
+and averages outputs and losses (an unrolled loop: crop count is a small
+static 1/3/6, so XLA sees one fused program either way).
 """
 from __future__ import annotations
 

@@ -15,7 +15,11 @@ class LinearClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.out_features, use_bias=self.bias, name="fc")(x)
+        # N(0, 0.01) like every reference nn.Linear (base_model.py:110-127)
+        return nn.Dense(
+            self.out_features, use_bias=self.bias,
+            kernel_init=nn.initializers.normal(stddev=0.01), name="fc",
+        )(x)
 
 
 class MLPClassifier(nn.Module):
@@ -26,6 +30,14 @@ class MLPClassifier(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.nlayers - 1):
-            x = nn.Dense(x.shape[-1], use_bias=self.bias, name=f"fc_{i}")(x)
+            x = nn.Dense(
+                x.shape[-1], use_bias=self.bias,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                name=f"fc_{i}",
+            )(x)
             x = nn.relu(x)
-        return nn.Dense(self.out_features, name=f"fc_{self.nlayers - 1}")(x)
+        return nn.Dense(
+            self.out_features,
+            kernel_init=nn.initializers.normal(stddev=0.01),
+            name=f"fc_{self.nlayers - 1}",
+        )(x)

@@ -55,7 +55,11 @@ class MLPFuture(nn.Module):
     def __call__(self, feats, target_shape=None, *, train: bool = False):
         h = feats
         for i in range(self.num_layers):
-            h = nn.Dense(self.in_features, name=f"fc_{i}")(h)
+            h = nn.Dense(
+                self.in_features,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                name=f"fc_{i}",
+            )(h)
             if i < self.num_layers - 1:
                 h = nn.relu(h)
         return feats, h, {}, {}
@@ -106,11 +110,17 @@ class AVTh(nn.Module):
                 self.num_cluster_centers, self.inter_dim, name="encoder_embed"
             )
         else:
+            # the reference's model-wide init resets these nn.Linears
+            # to N(0, 0.01) (base_model.py:110-127) after HF construction
             self.encoder = nn.Dense(
-                self.inter_dim, use_bias=False, name="encoder"
+                self.inter_dim, use_bias=False,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                name="encoder",
             )
             self.decoder = nn.Dense(
-                self.in_features, use_bias=False, name="decoder"
+                self.in_features, use_bias=False,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                name="decoder",
             )
         self.gpt = GPT2Core(
             n_layer=self.n_layer,

@@ -9,7 +9,7 @@ avt_tpu.ops.dot_product_attention (Pallas on TPU for long sequences).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +35,15 @@ class SelfAttention(nn.Module):
     attn_dropout: float = 0.0
     resid_dropout: float = 0.0
     out_features: Optional[int] = None
+    qkv_init: Any = nn.linear.default_kernel_init
+    proj_init: Any = nn.linear.default_kernel_init
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mask=None):
         B, T, C = x.shape
         out_dim = self.out_features or C
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, name="qkv")(x)
+        qkv = nn.Dense(3 * C, kernel_init=self.qkv_init, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, self.num_heads, head_dim)
         k = k.reshape(B, T, self.num_heads, head_dim)
@@ -52,9 +54,16 @@ class SelfAttention(nn.Module):
         # regularization behavior and keeps the kernel fused.
         out = nn.Dropout(self.attn_dropout, deterministic=not train)(out)
         out = out.reshape(B, T, C)
-        out = nn.Dense(out_dim, name="proj")(out)
+        out = nn.Dense(out_dim, kernel_init=self.proj_init, name="proj")(out)
         out = nn.Dropout(self.resid_dropout, deterministic=not train)(out)
         return out
+
+
+# HF GPT-2 from-scratch init: every Linear/Conv1D/Embedding weight is
+# N(0, initializer_range=0.02), biases zero (transformers 4.2.2
+# GPT2PreTrainedModel._init_weights — the version the reference pins; the
+# later scaled-c_proj init does not exist there).
+GPT2_INIT = nn.initializers.normal(stddev=0.02)
 
 
 class GPT2Block(nn.Module):
@@ -74,12 +83,16 @@ class GPT2Block(nn.Module):
             causal=True,
             attn_dropout=self.attn_dropout,
             resid_dropout=self.resid_dropout,
+            qkv_init=GPT2_INIT,
+            proj_init=GPT2_INIT,
             name="attn",
         )(h, train=train)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)
-        h = nn.Dense(self.mlp_ratio * x.shape[-1], name="mlp_fc")(h)
+        h = nn.Dense(
+            self.mlp_ratio * x.shape[-1], kernel_init=GPT2_INIT, name="mlp_fc"
+        )(h)
         h = gelu_new(h)
-        h = nn.Dense(x.shape[-1], name="mlp_proj")(h)
+        h = nn.Dense(x.shape[-1], kernel_init=GPT2_INIT, name="mlp_proj")(h)
         h = nn.Dropout(self.resid_dropout, deterministic=not train)(h)
         return x + h
 
@@ -88,7 +101,9 @@ class GPT2Core(nn.Module):
     """Stack of GPT2Blocks with learned positions and final LN.
 
     Equivalent of transformers.GPT2Model with wte deleted (the reference
-    deletes it and feeds inputs_embeds, future_prediction.py:95).
+    deletes it and feeds inputs_embeds, future_prediction.py:95). All
+    weights (wpe + every Dense kernel) init to N(0, 0.02) like HF's
+    _init_weights, so training from scratch matches the reference.
     """
 
     n_layer: int = 12
@@ -102,11 +117,7 @@ class GPT2Core(nn.Module):
     @nn.compact
     def __call__(self, inputs_embeds, *, train: bool = False, position_offset: int = 0):
         B, T, C = inputs_embeds.shape
-        wpe = self.param(
-            "wpe",
-            nn.initializers.normal(stddev=0.01),
-            (self.n_positions, C),
-        )
+        wpe = self.param("wpe", GPT2_INIT, (self.n_positions, C))
         pos = jax.lax.dynamic_slice_in_dim(wpe, position_offset, T, axis=0)
         x = inputs_embeds + pos[None]
         x = nn.Dropout(self.embd_dropout, deterministic=not train)(x)
@@ -133,6 +144,13 @@ def sincos_positional_encoding(max_len: int, d_model: int) -> jnp.ndarray:
     return pe
 
 
+# The reference's model-wide init (base_model.py:110-127) resets every
+# nn.Linear to N(0, 0.01) AFTER submodule construction — inside a torch
+# TransformerEncoderLayer that covers linear1/linear2 and attn out_proj,
+# while in_proj_weight (a bare Parameter) keeps its xavier_uniform.
+LINEAR_INIT = nn.initializers.normal(stddev=0.01)
+
+
 class EncoderBlock(nn.Module):
     """Post-LN transformer encoder layer (torch.nn.TransformerEncoderLayer
     semantics: attn -> add+LN -> ffn -> add+LN)."""
@@ -148,12 +166,14 @@ class EncoderBlock(nn.Module):
             causal=False,
             attn_dropout=self.dropout,
             resid_dropout=0.0,
+            qkv_init=nn.initializers.xavier_uniform(),
+            proj_init=LINEAR_INIT,
             name="attn",
         )(x, train=train, mask=mask)
         x = nn.LayerNorm(name="ln_1")(x + nn.Dropout(self.dropout, deterministic=not train)(a))
-        h = nn.Dense(self.ffn_dim, name="ffn_fc")(x)
+        h = nn.Dense(self.ffn_dim, kernel_init=LINEAR_INIT, name="ffn_fc")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(x.shape[-1], name="ffn_proj")(h)
+        h = nn.Dense(x.shape[-1], kernel_init=LINEAR_INIT, name="ffn_proj")(h)
         x = nn.LayerNorm(name="ln_2")(x + nn.Dropout(self.dropout, deterministic=not train)(h))
         return x

@@ -120,7 +120,11 @@ class TransformerAgg(nn.Module):
                 jax.random.uniform(rng, (B, T)) <= self.cloze_loss_ratio
             )  # True = masked out
             feats = jnp.where(key_mask[..., None], mask_embed, feats)
-        x = nn.Dense(self.inter_rep, name="downproject")(feats)
+        x = nn.Dense(
+            self.inter_rep,
+            kernel_init=nn.initializers.normal(stddev=0.01),
+            name="downproject",
+        )(feats)
         pe = sincos_positional_encoding(self.max_len, self.inter_rep)
         x = x + pe[None, :T]
         x = nn.Dropout(0.1, deterministic=not train)(x)

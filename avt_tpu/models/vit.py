@@ -8,8 +8,9 @@ output reshaped to (B, C', T, 1, 1) so it flows like a video feature map.
 TPU-first design choices:
   * frames batch into one (B*T, 196+1, 768) attention problem — a single
     big MXU-friendly matmul stream instead of a Python loop over frames;
-  * attention runs through avt_tpu.ops.dot_product_attention, which
-    dispatches to the Pallas flash kernel on TPU (197 tokens pad to 256);
+  * attention runs through avt_tpu.ops.packed_attention: a Pallas kernel
+    that reads the fused qkv projection in place (no split/transpose/pad
+    copies) and whose backward emits one packed dqkv;
   * optional bfloat16 compute dtype (params stay f32) for MXU throughput.
 
 Weight layout matches timm's names one-to-one through
@@ -23,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from avt_tpu.ops import dot_product_attention
+from avt_tpu.ops.attention import packed_attention
 
 
 class ViTAttention(nn.Module):
@@ -33,14 +34,12 @@ class ViTAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         N, T, C = x.shape
-        head_dim = C // self.num_heads
+        # packed path: the Pallas kernel consumes the fused qkv output in
+        # place and its backward hands one packed dqkv to this Dense's
+        # backward — no split/transpose/pad traffic in HBM (the round-1
+        # attention bottleneck at B*T=160 frames x 197 tokens)
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(N, T, self.num_heads, head_dim)
-        k = k.reshape(N, T, self.num_heads, head_dim)
-        v = v.reshape(N, T, self.num_heads, head_dim)
-        out = dot_product_attention(q, k, v, causal=False)
-        out = out.reshape(N, T, C)
+        out = packed_attention(qkv, self.num_heads, causal=False)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 

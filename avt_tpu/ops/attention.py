@@ -65,6 +65,37 @@ def dot_product_attention(
     return _xla_attention(q, k, v, causal, mask)
 
 
+def packed_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    causal: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Attention straight off a fused qkv projection (N, T, 3*C) -> (N, T, C).
+
+    The TPU path reads the packed array in place (no split / transpose /
+    pad copies in HBM) and its backward emits one packed dqkv — the layout
+    the qkv Dense backward wants. Off-TPU (or for tiny sequences) it falls
+    back to the XLA attention on split tensors.
+    """
+    N, T, C3 = qkv.shape
+    C = C3 // 3
+    head_dim = C // num_heads
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and T >= 64
+    if use_pallas:
+        from avt_tpu.ops.flash_attention import packed_short_attention
+
+        return packed_short_attention(qkv, num_heads, causal)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(N, T, num_heads, head_dim)
+    k = k.reshape(N, T, num_heads, head_dim)
+    v = v.reshape(N, T, num_heads, head_dim)
+    out = _xla_attention(q, k, v, causal, None)
+    return out.reshape(N, T, C)
+
+
 def multi_head_attention(
     x_q: jax.Array,
     x_kv: jax.Array,

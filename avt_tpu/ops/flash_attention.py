@@ -1,20 +1,24 @@
-"""Pallas TPU flash attention (forward) with online softmax.
+"""Pallas TPU flash attention (forward + recompute backward), online softmax.
 
 Design (see /opt/skills/guides/pallas_guide.md):
-  * grid = (batch, heads, Tq/block_q); each program computes one q block's
-    output for one (batch, head).
-  * K/V for the (batch, head) live in VMEM (seq lengths here are <= ~1k:
-    ViT 256, AVT-h <= 64, so full-K/V residency is the fast layout —
-    at 1024 x 128 x f32 that is 0.5 MB per tensor, well under the 16 MB VMEM).
-  * online softmax over k blocks keeps the (block_q, block_k) score tile in
-    registers/VMEM; no (Tq, Tk) materialization in HBM.
-  * padding and causal masks are generated statically from the true lengths
-    (static at trace time), so XLA sees fixed shapes.
+  * grid = (batch*heads / G, Tq/block_q); each program computes G rows'
+    q-block outputs (G batch*head rows batched per program: at short
+    sequence lengths the per-program fixed cost dominates a 1-row grid).
+  * K/V for the rows live fully in VMEM (seq lengths here are <= ~1k:
+    ViT 256, AVT-h <= 64 — at 1024 x 128 x f32 that is 0.5 MB per tensor,
+    well under the 16 MB VMEM).
+  * online softmax keeps the (block_q, block_k) score tile in VMEM; no
+    (Tq, Tk) materialization in HBM — in forward OR backward.
+  * backward is the standard flash recompute: forward saves only the
+    per-row logsumexp; dq / dk / dv kernels re-form the probabilities
+    blockwise from (q, k, lse) and contract against dO. This replaces the
+    XLA-autodiff fallback that materialized (B*H, Tq, Tk) score tensors in
+    HBM for the ViT backward (the round-1 perf drag).
+  * padding and causal masks are generated statically from the true
+    lengths (static at trace time), so XLA sees fixed shapes.
 
-Backward falls back to XLA autodiff of this forward via jax.custom_vjp
-residual recompute (flash-style recompute backward is a later optimization;
-the ViT backbone is the only long-seq consumer and its backward is
-matmul-dominated).
+Replaces: cuDNN fused attention the reference gets through timm/HF
+(models/video_classification.py, models/future_prediction.py).
 """
 from __future__ import annotations
 
@@ -36,16 +40,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, q_len, kv_len, block_k
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+    sm_scale, causal, q_len, kv_len, block_k
 ):
-    """G (batch*head) rows x one q-block x all k-blocks, online softmax.
+    """Forward: G rows x one q block x all k blocks, online softmax.
 
-    Ref shapes: q (G, block_q, D), k/v (G, Tk_pad, D), o like q. The wrapper
-    collapses (batch, heads) into the leading dim and this kernel processes
-    G of them per program: at short sequence lengths (ViT's 197 tokens) the
-    per-program fixed cost dominates a 1-row grid, so batching rows into
-    each program is what makes the kernel beat the XLA path (which
-    materializes the full score tensor in HBM).
+    Ref shapes: q (G, block_q, D), k/v (G, Tk_pad, D), o like q,
+    lse (G, block_q) logsumexp of the scaled scores (None = don't store).
     """
     G, block_q, head_dim = q_ref.shape
     kv_pad = k_ref.shape[1]
@@ -83,14 +84,111 @@ def _flash_kernel(
         # Rows that saw no valid key (fully masked padding rows) have l == 0.
         out = acc / jnp.maximum(l, 1e-30)
         o_ref[g, :, :] = out.astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[g, :] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
-def _pick_group(n_rows: int, tk_pad: int, head_dim: int, itemsize: int) -> int:
-    """Rows (batch*head) per program: as many as fit a VMEM budget."""
-    # K+V+Q+O VMEM bytes per row; the last dim pads to 128 lanes and the
-    # pipeline double-buffers every block
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+    sm_scale, causal, kv_len, block_k
+):
+    """dq for G rows x one q block; K/V resident, iterate k blocks.
+
+    ds = p * (dO @ V^T - delta); dq = sm_scale * ds @ K, with
+    p = exp(q.K^T * scale - lse) recomputed blockwise.
+    """
+    G, block_q, head_dim = q_ref.shape
+    kv_pad = k_ref.shape[1]
+    q_block_idx = pl.program_id(1)
+    q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+    for g in range(G):
+        q = q_ref[g, :, :] * sm_scale
+        do = do_ref[g, :, :]
+        lse = lse_ref[g, :][:, None]
+        delta = delta_ref[g, :][:, None]
+        acc = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+        for kb in range(kv_pad // block_k):
+            k = k_ref[g, kb * block_k : (kb + 1) * block_k, :]
+            v = v_ref[g, kb * block_k : (kb + 1) * block_k, :]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = k_pos < kv_len
+            if causal:
+                mask = mask & (k_pos <= q_pos)
+            s = jnp.where(mask, s, NEG_INF)
+            p = jnp.exp(s - lse)  # (block_q, block_k), zeros where masked
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            acc = acc + jnp.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            )
+        dq_ref[g, :, :] = (acc * sm_scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+    sm_scale, causal, kv_len, block_q
+):
+    """dk/dv for G rows x one k block; Q/dO resident, iterate q blocks.
+
+    dv = p^T @ dO; dk = ds^T @ (q * scale), p recomputed as in _dq_kernel.
+    Padded q rows contribute nothing (their dO and delta are zero).
+    """
+    G, block_k, head_dim = k_ref.shape
+    tq_pad = q_ref.shape[1]
+    k_block_idx = pl.program_id(1)
+    k_pos = k_block_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    for g in range(G):
+        k = k_ref[g, :, :]
+        v = v_ref[g, :, :]
+        dk = jnp.zeros((block_k, head_dim), dtype=jnp.float32)
+        dv = jnp.zeros((block_k, head_dim), dtype=jnp.float32)
+        for qb in range(tq_pad // block_q):
+            sl = slice(qb * block_q, (qb + 1) * block_q)
+            q = q_ref[g, sl, :] * sm_scale
+            do = do_ref[g, sl, :]
+            lse = lse_ref[g, sl][:, None]
+            delta = delta_ref[g, sl][:, None]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            mask = k_pos < kv_len
+            if causal:
+                q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                mask = mask & (k_pos <= q_pos)
+            s = jnp.where(mask, s, NEG_INF)
+            p = jnp.exp(s - lse)
+            dv = dv + jnp.dot(
+                p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
+            )
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            dk = dk + jnp.dot(
+                ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
+            )
+        dk_ref[g, :, :] = dk.astype(dk_ref.dtype)
+        dv_ref[g, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _pick_group(
+    n_rows: int, tk_pad: int, head_dim: int, itemsize: int, n_resident: int = 4
+) -> int:
+    """Rows (batch*head) per program: as many as fit a VMEM budget.
+
+    n_resident: how many full-seq-length tensors the kernel keeps per row
+    (fwd: K, V + double-buffered q/o blocks; bwd dkv: q, do, k, v, ...).
+    """
+    # the last dim pads to 128 lanes and the pipeline double-buffers blocks
     lanes = max(head_dim, 128)
-    per_row = (2 * tk_pad + 2 * DEFAULT_BLOCK_Q) * lanes * max(itemsize, 2) * 2
+    per_row = (
+        (n_resident * tk_pad + 2 * DEFAULT_BLOCK_Q) * lanes * max(itemsize, 2) * 2
+    )
     budget = 6 * 1024 * 1024  # stay well under the ~16MB VMEM
     g = max(1, min(n_rows, budget // max(per_row, 1)))
     while n_rows % g != 0:  # grid must divide evenly
@@ -98,9 +196,76 @@ def _pick_group(n_rows: int, tk_pad: int, head_dim: int, itemsize: int) -> int:
     return g
 
 
+def _to_bh(x, t_pad, t):
+    """(B, T, H, D) -> (B*H, T_pad, D), zero-padded along T."""
+    B, _, H, D = x.shape
+    x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(B * H, t_pad, D)
+
+
+def _from_bh(x, B, H, t):
+    """(B*H, T_pad, D) -> (B, T, H, D)."""
+    t_pad, D = x.shape[1:]
+    return x.reshape(B, H, t_pad, D).transpose(0, 2, 1, 3)[:, :t]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret", "want_lse"),
 )
+def _flash_attention_fwd(
+    q, k, v, *, causal, block_q, block_k, interpret, want_lse
+):
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    sm_scale = 1.0 / math.sqrt(D)
+    tq_pad = _round_up(Tq, block_q)
+    tk_pad = _round_up(Tk, block_k)
+    qp = _to_bh(q, tq_pad, Tq)
+    kp = _to_bh(k, tk_pad, Tk)
+    vp = _to_bh(v, tk_pad, Tk)
+
+    G = _pick_group(B * H, tk_pad, D, q.dtype.itemsize)
+    grid = (B * H // G, tq_pad // block_q)
+    blk = lambda shape, idx: pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)  # noqa: E731
+    out_shapes = [jax.ShapeDtypeStruct((B * H, tq_pad, D), q.dtype)]
+    out_specs = [blk((G, block_q, D), lambda bh, i: (bh, i, 0))]
+    if want_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((B * H, tq_pad), jnp.float32))
+        out_specs.append(blk((G, block_q), lambda bh, i: (bh, i)))
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, *maybe_lse):
+        _flash_kernel(
+            q_ref, k_ref, v_ref, o_ref,
+            maybe_lse[0] if maybe_lse else None,
+            sm_scale=sm_scale, causal=causal, q_len=Tq, kv_len=Tk,
+            block_k=block_k,
+        )
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk((G, block_q, D), lambda bh, i: (bh, i, 0)),
+            blk((G, tk_pad, D), lambda bh, i: (bh, 0, 0)),
+            blk((G, tk_pad, D), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tq * Tk * D,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Tq * Tk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = _from_bh(res[0], B, H, Tq)
+    if want_lse:
+        return out, res[1]  # lse stays (B*H, Tq_pad) for the bwd kernels
+    return out
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -116,91 +281,316 @@ def flash_attention(
     Scale = 1/sqrt(D), matching jax.nn.dot_product_attention. Forward only;
     use flash_attention_vjp for a differentiable version.
     """
+    return _flash_attention_fwd(
+        q, k, v, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret, want_lse=False,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def _flash_attention_bwd(
+    q, k, v, do, lse, delta, *, causal, block_q, block_k, interpret
+):
+    """dq/dk/dv via the recompute kernels; lse/delta are (B*H, Tq_pad)."""
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     sm_scale = 1.0 / math.sqrt(D)
     tq_pad = _round_up(Tq, block_q)
     tk_pad = _round_up(Tk, block_k)
+    qp = _to_bh(q, tq_pad, Tq)
+    kp = _to_bh(k, tk_pad, Tk)
+    vp = _to_bh(v, tk_pad, Tk)
+    dop = _to_bh(do, tq_pad, Tq)
 
-    def to_bh(x, t_pad, t):
-        # (B, T, H, D) -> (B*H, T_pad, D)
-        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
-        x = x.transpose(0, 2, 1, 3)
-        return x.reshape(B * H, t_pad, D)
+    blk = lambda shape, idx: pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)  # noqa: E731
+    bh = B * H
+    itemsize = q.dtype.itemsize
 
-    qp = to_bh(q, tq_pad, Tq)
-    kp = to_bh(k, tk_pad, Tk)
-    vp = to_bh(v, tk_pad, Tk)
-
-    G = _pick_group(B * H, tk_pad, D, q.dtype.itemsize)
-    grid = (B * H // G, tq_pad // block_q)
-    out = pl.pallas_call(
+    # dq: per-program residents K, V, q/do/dq blocks -> ~2 full-len rows
+    G = _pick_group(bh, tk_pad, D, itemsize, n_resident=2)
+    dq = pl.pallas_call(
         functools.partial(
-            _flash_kernel,
-            sm_scale=sm_scale,
-            causal=causal,
-            q_len=Tq,
-            kv_len=Tk,
+            _dq_kernel, sm_scale=sm_scale, causal=causal, kv_len=Tk,
             block_k=block_k,
         ),
-        grid=grid,
+        grid=(bh // G, tq_pad // block_q),
         in_specs=[
-            pl.BlockSpec(
-                (G, block_q, D),
-                lambda bh, i: (bh, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (G, tk_pad, D),
-                lambda bh, i: (bh, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (G, tk_pad, D),
-                lambda bh, i: (bh, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            blk((G, block_q, D), lambda b, i: (b, i, 0)),   # q
+            blk((G, tk_pad, D), lambda b, i: (b, 0, 0)),    # k
+            blk((G, tk_pad, D), lambda b, i: (b, 0, 0)),    # v
+            blk((G, block_q, D), lambda b, i: (b, i, 0)),   # do
+            blk((G, block_q), lambda b, i: (b, i)),         # lse
+            blk((G, block_q), lambda b, i: (b, i)),         # delta
         ],
-        out_specs=pl.BlockSpec(
-            (G, block_q, D),
-            lambda bh, i: (bh, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * H, tq_pad, D), q.dtype),
+        out_specs=blk((G, block_q, D), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Tq * Tk * D,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            flops=6 * B * H * Tq * Tk * D,
+            bytes_accessed=(qp.size * 2 + kp.size + vp.size) * itemsize,
             transcendentals=B * H * Tq * Tk,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
-    # (B*H, Tq_pad, D) -> (B, Tq, H, D)
-    out = out.reshape(B, H, tq_pad, D).transpose(0, 2, 1, 3)
-    return out[:, :Tq]
+    )(qp, kp, vp, dop, lse, delta)
+
+    # dk/dv: per-program residents Q, dO (full Tq) + k/v/dk/dv blocks
+    G2 = _pick_group(bh, tq_pad, D, itemsize, n_resident=2)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, sm_scale=sm_scale, causal=causal, kv_len=Tk,
+            block_q=block_q,
+        ),
+        grid=(bh // G2, tk_pad // block_k),
+        in_specs=[
+            blk((G2, tq_pad, D), lambda b, j: (b, 0, 0)),   # q
+            blk((G2, block_k, D), lambda b, j: (b, j, 0)),  # k
+            blk((G2, block_k, D), lambda b, j: (b, j, 0)),  # v
+            blk((G2, tq_pad, D), lambda b, j: (b, 0, 0)),   # do
+            blk((G2, tq_pad), lambda b, j: (b, 0)),         # lse
+            blk((G2, tq_pad), lambda b, j: (b, 0)),         # delta
+        ],
+        out_specs=[
+            blk((G2, block_k, D), lambda b, j: (b, j, 0)),
+            blk((G2, block_k, D), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, D), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * Tq * Tk * D,
+            bytes_accessed=(qp.size * 2 + kp.size * 2 + vp.size * 2) * itemsize,
+            transcendentals=B * H * Tq * Tk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    return (
+        _from_bh(dq, B, H, Tq),
+        _from_bh(dk, B, H, Tk),
+        _from_bh(dv, B, H, Tk),
+    )
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: fast Pallas forward, XLA-derived backward (the
-# backward re-derives grads from the standard attention expression; a
-# recompute-style Pallas backward kernel is a later optimization).
+# Differentiable wrapper: Pallas forward + Pallas recompute backward.
+# Kernels run interpreted off-TPU so the same code path tests on the CPU
+# mesh (the dispatcher in ops/attention.py only routes real TPU shapes here).
 # ---------------------------------------------------------------------------
-def _attention_reference(q, k, v, causal):
-    return jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_vjp(q, k, v, causal=False):
-    return flash_attention(q, k, v, causal=causal)
+    return flash_attention(q, k, v, causal=causal, interpret=_interp())
 
 
 def _fa_fwd(q, k, v, causal):
-    return flash_attention(q, k, v, causal=causal), (q, k, v)
+    out, lse = _flash_attention_fwd(
+        q, k, v, causal=causal, block_q=DEFAULT_BLOCK_Q,
+        block_k=DEFAULT_BLOCK_K, interpret=_interp(), want_lse=True,
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(causal, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda a, b, c: _attention_reference(a, b, c, causal), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = residuals
+    B, Tq, H, _ = q.shape
+    tq_pad = lse.shape[1]
+    # delta = rowsum(dO * O), reshaped to the kernels' (B*H, Tq_pad) layout
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, tq_pad - Tq), (0, 0)))
+    delta = delta.transpose(0, 2, 1).reshape(B * H, tq_pad)
+    return _flash_attention_bwd(
+        q, k, v, g, lse, delta, causal=causal, block_q=DEFAULT_BLOCK_Q,
+        block_k=DEFAULT_BLOCK_K, interpret=_interp(),
+    )
 
 
 flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed short-sequence attention (the ViT hot path).
+#
+# The generic kernels above pay a pad + transpose + reshape of q/k/v/o in
+# HBM to reach the (B*H, T, D) layout — at ViT-B scale (160 frames x 197
+# tokens x 768) that layout traffic dwarfs the attention math. These kernels
+# instead read the qkv projection's natural output (N, T, 3, H, D) IN PLACE
+# via Pallas index maps (zero copies), keep a whole sequence per program
+# (T <= ~1k fits VMEM), and the backward is ONE kernel that recomputes the
+# probabilities and writes a single packed dqkv array that feeds the qkv
+# Dense backward directly. Residuals: just (qkv, do) — no out/lse stored
+# (delta folds into rowsum(p * dp)).
+# ---------------------------------------------------------------------------
+def _short_fwd_kernel(qkv_ref, o_ref, *, num_heads, sm_scale, kv_len, causal):
+    """qkv_ref (G, T, 3*H*D) -> o_ref (G, T, H*D); full-seq softmax.
+
+    Heads are addressed by STATIC lane slices of the packed projection —
+    Mosaic handles 2D lane-sliced loads/stores natively, where interior
+    integer indexing of a 5D (G, T, 3, H, D) ref would need an unsupported
+    vector reshape.
+    """
+    G, T, C3 = qkv_ref.shape
+    C = C3 // 3
+    D = C // num_heads
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = k_pos < kv_len
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    for g in range(G):
+        for h in range(num_heads):
+            q = qkv_ref[g, :, h * D:(h + 1) * D] * sm_scale
+            k = qkv_ref[g, :, C + h * D:C + (h + 1) * D]
+            v = qkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            s = jnp.where(mask, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            pn = (p / l).astype(v.dtype)
+            o_ref[g, :, h * D:(h + 1) * D] = jnp.dot(
+                pn, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def _short_bwd_kernel(
+    qkv_ref, do_ref, dqkv_ref, *, num_heads, sm_scale, kv_len, causal
+):
+    """Recompute-probabilities backward; writes dq/dk/dv into one packed
+    (G, T, 3*H*D) output via static lane slices. delta = rowsum(pn * dp),
+    so neither out nor lse need storing."""
+    G, T, C3 = qkv_ref.shape
+    C = C3 // 3
+    D = C // num_heads
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = k_pos < kv_len
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    for g in range(G):
+        for h in range(num_heads):
+            q = qkv_ref[g, :, h * D:(h + 1) * D] * sm_scale  # scale in q
+            k = qkv_ref[g, :, C + h * D:C + (h + 1) * D]
+            v = qkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D]
+            do = do_ref[g, :, h * D:(h + 1) * D]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            s = jnp.where(mask, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            pn = p / l  # (T, T) f32
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+            ds = pn * (dp - delta)
+            ds_c = ds.astype(k.dtype)
+            dqkv_ref[g, :, h * D:(h + 1) * D] = (
+                jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * sm_scale
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, C + h * D:C + (h + 1) * D] = jnp.dot(
+                ds_c.T, q, preferred_element_type=jnp.float32
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D] = jnp.dot(
+                pn.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+            ).astype(dqkv_ref.dtype)
+
+
+def _short_pick_group(n: int, per_frame_bytes: int) -> int:
+    budget = 5 * 1024 * 1024
+    g = max(1, min(n, budget // max(per_frame_bytes, 1)))
+    while n % g != 0:
+        g -= 1
+    return g
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
+def _short_attention_fwd_call(qkv, num_heads, causal, interpret):
+    N, T, C3 = qkv.shape
+    H, D = num_heads, C3 // (3 * num_heads)
+    sm_scale = 1.0 / math.sqrt(D)
+    per_frame = (3 + 1) * T * H * D * qkv.dtype.itemsize * 2
+    G = _short_pick_group(N, per_frame)
+    return pl.pallas_call(
+        functools.partial(
+            _short_fwd_kernel, num_heads=H, sm_scale=sm_scale, kv_len=T,
+            causal=causal,
+        ),
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, T, C3), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((G, T, H * D), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, T, H * D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * H * T * T * D,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=N * H * T * T,
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
+def _short_attention_bwd_call(qkv, do, num_heads, causal, interpret):
+    N, T, C3 = qkv.shape
+    H, D = num_heads, C3 // (3 * num_heads)
+    sm_scale = 1.0 / math.sqrt(D)
+    per_frame = (3 + 1 + 3) * T * H * D * qkv.dtype.itemsize * 2
+    G = _short_pick_group(N, per_frame)
+    return pl.pallas_call(
+        functools.partial(
+            _short_bwd_kernel, num_heads=H, sm_scale=sm_scale, kv_len=T,
+            causal=causal,
+        ),
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, T, C3), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, H * D), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, T, C3), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, T, C3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * N * H * T * T * D,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 8 // 3,
+            transcendentals=N * H * T * T,
+        ),
+        interpret=interpret,
+    )(qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_short_attention(qkv, num_heads, causal=False):
+    """Attention straight off the packed qkv projection.
+
+    qkv: (N, T, 3*H*D), the fused qkv Dense output (thirds = q, k, v).
+    Returns (N, T, H*D). The whole sequence lives in one VMEM block, so this
+    path is for T <= ~1k (ViT's 197); the generic flash_attention above
+    handles longer sequences.
+    """
+    return _short_attention_fwd_call(qkv, num_heads, causal, _interp())
+
+
+def _short_fwd_rule(qkv, num_heads, causal):
+    return (
+        _short_attention_fwd_call(qkv, num_heads, causal, _interp()),
+        qkv,
+    )
+
+
+def _short_bwd_rule(num_heads, causal, qkv, g):
+    return (_short_attention_bwd_call(qkv, g, num_heads, causal, _interp()),)
+
+
+packed_short_attention.defvjp(_short_fwd_rule, _short_bwd_rule)

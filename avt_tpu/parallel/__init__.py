@@ -1,5 +1,6 @@
 from avt_tpu.parallel.mesh import (
     make_mesh,
+    setup_distributed,
     shard_batch,
     shard_params,
     make_sharded_train_step,
@@ -7,6 +8,7 @@ from avt_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "setup_distributed",
     "shard_batch",
     "shard_params",
     "make_sharded_train_step",

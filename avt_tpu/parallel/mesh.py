@@ -15,12 +15,49 @@ train/step.py): jit + shardings compile to the right collectives.
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def setup_distributed(logger=None) -> None:
+    """Multi-host process init (reference common/utils.py:106-150).
+
+    The reference rendezvouses torch.distributed over a sync file and reads
+    rank/world from submitit/RANK/SLURM_PROCID. The JAX equivalent is one
+    jax.distributed.initialize() per host process, coordinated over DCN;
+    afterwards jax.devices() spans every host and the mesh/shardings below
+    make one SPMD program of the whole slice.
+
+    Single-host runs (no coordinator configured) are a no-op, like the
+    reference's not-distributed fallback.
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    n_proc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
+    proc_id = os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK")
+    in_slurm = int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+    if not coord and not in_slurm:
+        return
+    kwargs = {}
+    if coord:
+        kwargs["coordinator_address"] = coord
+    if n_proc is not None:
+        kwargs["num_processes"] = int(n_proc)
+    if proc_id is not None:
+        kwargs["process_id"] = int(proc_id)
+    # SLURM (and other cluster envs) auto-detect when kwargs are omitted.
+    jax.distributed.initialize(**kwargs)
+    if logger:
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d devices",
+            jax.process_index(), jax.process_count(), jax.device_count(),
+        )
 
 # param-path regex -> PartitionSpec rules for the 'model' axis.
 # Matched against 'a/b/c' joined param paths; first match wins; default
@@ -66,6 +103,23 @@ def param_spec(
     return P()
 
 
+def _put_global(leaf, mesh: Mesh, spec: P):
+    """Host array -> global sharded array.
+
+    Single-process: plain device_put. Multi-host: the local array is this
+    process's shard along the sharded axes (replicated axes must hold
+    identical values on every host, e.g. same-seed param init) — the JAX
+    equivalent of 'each DDP rank holds its slice'.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            leaf, mesh, spec
+        )
+    return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+
 def shard_params(
     params,
     mesh: Mesh,
@@ -84,16 +138,28 @@ def shard_params(
             if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
                 spec = P()
                 break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return _put_global(leaf, mesh, spec)
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Shard every array's leading (batch) dim over 'data'."""
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
+    """Shard every array's batch dim over 'data'.
+
+    batch_axis=0 for a plain batch; 1 for K-step stacked batches (leading
+    scan axis stays unsharded). Arrays whose batch dim doesn't divide the
+    data axis (e.g. the last eval batch) are replicated instead — correct,
+    just not parallel.
+    """
+    # the local batch must divide this process's share of the data axis
+    n_data = max(1, mesh.shape["data"] // jax.process_count())
+    spec = P(*([None] * batch_axis + ["data"]))
 
     def place(leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, P("data")))
+        leaf = np.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
+        if leaf.ndim <= batch_axis or leaf.shape[batch_axis] % n_data != 0:
+            return _put_global(leaf, mesh, P())
+        return _put_global(leaf, mesh, spec)
 
     return jax.tree.map(place, batch)
 

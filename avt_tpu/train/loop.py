@@ -31,6 +31,14 @@ from avt_tpu.train.step import TrainState
 _JIT_KEYS = ("video", "target", "target_subclips")
 
 
+def _jit_batch(batch):
+    """Keys forwarded into the jitted step (incl. SSL future clips)."""
+    return {
+        k: v for k, v in batch.items()
+        if k in _JIT_KEYS or (k.startswith("future_") and k.endswith("_video"))
+    }
+
+
 def train_one_epoch(
     train_step: Callable,
     state: TrainState,
@@ -39,6 +47,9 @@ def train_one_epoch(
     epoch: int,
     partial_epoch: float = 0.0,
     rng,
+    multi_step: Optional[Callable] = None,
+    unroll_steps: int = 1,
+    place_batch: Optional[Callable] = None,
     metric_logger: Optional[MetricLogger] = None,
     logger=None,
     print_freq: int = 10,
@@ -50,7 +61,17 @@ def train_one_epoch(
     rank: int = 0,
     writer=None,
 ):
-    """Run (the rest of) one epoch; returns (state, last_saved_time)."""
+    """Run (the rest of) one epoch; returns (state, last_saved_time).
+
+    The hot path dispatches `unroll_steps` batches per device call through
+    `multi_step` (lax.scan inside one XLA program) so the host never syncs
+    per step — the per-dispatch overhead and the loss fetch amortize over K
+    steps. Short tails (epoch end / fractional resume remainders) fall back
+    to single `train_step` calls.
+
+    place_batch(batch, batch_axis) puts host arrays onto the mesh with the
+    batch dim sharded on 'data' (None = feed numpy and let jit transfer).
+    """
     metric_logger = metric_logger or MetricLogger(logger=logger, writer=writer)
     batches_per_epoch = len(loader)
     partial_iters = int(batches_per_epoch * partial_epoch)
@@ -61,18 +82,32 @@ def train_one_epoch(
     it = iter(loader)
     for _ in range(partial_iters):  # fast-forward a fractional resume
         next(it)
-    for i, batch in enumerate(
-        metric_logger.log_every(
-            it, print_freq, f"Epoch [{epoch}]", total=batches_per_epoch
-        ),
-        partial_iters,
+    K = max(1, unroll_steps) if multi_step is not None else 1
+
+    def chunked():
+        buf = []
+        for batch in it:
+            buf.append(batch)
+            if len(buf) == K:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    n_chunks = -(-(batches_per_epoch - partial_iters) // K)
+    step_id = epoch * batches_per_epoch + partial_iters
+    # bucket counter so chunked dispatch preserves the reference's
+    # "save every save_freq*iters steps" cadence (func/train.py:176-201)
+    last_save_bucket = -1
+    for chunk in metric_logger.log_every(
+        chunked(), print_freq, f"Epoch [{epoch}]", total=n_chunks
     ):
-        step_id = epoch * batches_per_epoch + i
         cur_epoch = step_id / batches_per_epoch
         now = datetime.datetime.now()
         mins_since = (now - last_saved_time).total_seconds() / 60.0
+        bucket = step_id // save_freq_steps if save_freq_steps else -1
         if ckpt_dir and (
-            (save_freq_steps and step_id % save_freq_steps == 0)
+            (save_freq_steps and bucket > last_save_bucket)
             or (save_freq_min and mins_since >= save_freq_min)
         ):
             names = [CKPT_NAME]
@@ -80,28 +115,55 @@ def train_one_epoch(
                 names.append(f"{CKPT_NAME}_ep{cur_epoch:.8f}")
             save_checkpoint(ckpt_dir, state, cur_epoch, names=tuple(names), rank=rank)
             last_saved_time = now
+            last_save_bucket = bucket
 
         t0 = time.time()
-        jit_batch = {k: batch[k] for k in _JIT_KEYS if k in batch}
-        step_rng = jax.random.fold_in(rng, step_id)
+        jit_chunk = [_jit_batch(b) for b in chunk]
         # xprof-visible step annotation (jax.profiler trace server is
         # served by `avt_tpu.launch --profile`)
         with jax.profiler.StepTraceAnnotation("train", step_num=step_id):
-            state, metrics = train_step(state, jit_batch, step_rng)
-        loss = float(metrics["loss"])
-        if math.isnan(loss):
-            raise ValueError("The loss is NaN!")
-        batch_size = next(iter(batch["target"].values())).shape[0]
-        metric_logger.update(loss=loss)
-        metric_logger["clips/s"].update(batch_size / (time.time() - t0))
-        for k, v in metrics.items():
-            if k.startswith("acc"):
-                metric_logger.update(n=batch_size, **{k: float(v)})
-            elif k.startswith("loss/"):
-                metric_logger.update(**{k: float(v)})
-        if step_id % print_freq == 0:
-            for k, v in metrics.items():
-                metric_logger.write_scalar(f"train_per_iter/{k}", float(v), step_id)
+            if len(chunk) == K and K > 1:
+                stacked = jax.tree.map(
+                    lambda *xs: np.stack(xs), *jit_chunk
+                )
+                if place_batch is not None:
+                    stacked = place_batch(stacked, 1)
+                state, metrics = multi_step(
+                    state, stacked, jax.random.fold_in(rng, step_id)
+                )
+                metrics = jax.tree.map(np.asarray, metrics)  # one fetch/chunk
+                per_step = [
+                    jax.tree.map(lambda m: m[j], metrics)
+                    for j in range(len(chunk))
+                ]
+            else:  # tail (or K == 1): plain per-batch dispatch
+                per_step = []
+                for j, jb in enumerate(jit_chunk):
+                    if place_batch is not None:
+                        jb = place_batch(jb, 0)
+                    state, m = train_step(
+                        state, jb, jax.random.fold_in(rng, step_id + j)
+                    )
+                    per_step.append(jax.tree.map(np.asarray, m))
+        dt = time.time() - t0
+        batch_size = next(iter(chunk[0]["target"].values())).shape[0]
+        for m in per_step:
+            loss = float(m["loss"])
+            if math.isnan(loss):
+                raise ValueError("The loss is NaN!")
+            metric_logger.update(loss=loss)
+            for k, v in m.items():
+                if k.startswith("acc"):
+                    metric_logger.update(n=batch_size, **{k: float(v)})
+                elif k.startswith("loss/"):
+                    metric_logger.update(**{k: float(v)})
+        metric_logger["clips/s"].update(batch_size * len(chunk) / dt)
+        if (step_id // K) % print_freq == 0:
+            for k, v in per_step[-1].items():
+                metric_logger.write_scalar(
+                    f"train_per_iter/{k}", float(v), step_id + len(chunk) - 1
+                )
+        step_id += len(chunk)
     metric_logger.dump_to_tb(epoch)
     return state, last_saved_time
 
@@ -113,6 +175,10 @@ def run_training(
     train_loader,
     eval_fn: Optional[Callable] = None,  # (state, epoch) -> primary metric
     num_epochs: int,
+    multi_step: Optional[Callable] = None,
+    unroll_steps: int = 1,
+    place_batch: Optional[Callable] = None,
+    plateau: Optional[Callable] = None,  # (state, metric) -> state
     ckpt_dir: Optional[str] = None,
     eval_freq: int = 1,
     store_best: bool = False,
@@ -147,6 +213,9 @@ def run_training(
             epoch=epoch,
             partial_epoch=partial if epoch == int(start_epoch) else 0.0,
             rng=rng,
+            multi_step=multi_step,
+            unroll_steps=unroll_steps,
+            place_batch=place_batch,
             logger=logger,
             save_freq=save_freq,
             save_freq_min=save_freq_min,
@@ -166,6 +235,10 @@ def run_training(
                 logger.info("Epoch %d primary metric: %f", epoch + 1, metric)
             if writer is not None:
                 writer.add_scalar("eval_per_epoch/primary_metric", metric, epoch + 1)
+            if plateau is not None:
+                # ReduceLROnPlateau stepped on the val metric
+                # (func/train.py:832-834)
+                state = plateau(state, metric)
             if store_best and metric > best_metric and ckpt_dir:
                 best_metric = metric
                 save_checkpoint(

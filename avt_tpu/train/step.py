@@ -255,7 +255,8 @@ def make_multi_step(step_fn: Callable, unroll_steps: int) -> Callable:
     Host->device dispatch has a fixed per-call cost (especially through
     remote-tunnel runtimes); scanning k prefetched batches per dispatch
     amortizes it. batches: a pytree whose leaves are stacked on a leading
-    (unroll_steps, ...) axis. Returns (state, metrics of the LAST step).
+    (unroll_steps, ...) axis. Returns (state, metrics stacked (K, ...)) —
+    one fetch gives the meters every step's values.
     """
 
     def multi(state, batches, rng):
@@ -265,9 +266,7 @@ def make_multi_step(step_fn: Callable, unroll_steps: int) -> Callable:
             return new_state, metrics
 
         idx = jnp.arange(unroll_steps)
-        state, metrics = jax.lax.scan(body, state, (idx, batches))
-        last = jax.tree.map(lambda m: m[-1], metrics)
-        return state, last
+        return jax.lax.scan(body, state, (idx, batches))
 
     return jax.jit(multi, donate_argnums=(0,))
 

@@ -44,12 +44,31 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     from avt_tpu.data.loader import DataLoader
     from avt_tpu.evaluate import evaluate
     from avt_tpu.models.import_torch import init_from_model
+    from avt_tpu.parallel import (
+        make_mesh,
+        setup_distributed,
+        shard_batch,
+        shard_params,
+    )
     from avt_tpu.train import TrainState, make_eval_step, make_train_step
     from avt_tpu.train.loop import run_training
+    from avt_tpu.train.step import make_multi_step
 
     logger = get_logger("avt_tpu.train")
     seed = cfg.get("seed", 42)
     np.random.seed(seed)
+
+    # Multi-host init (no-op single host), then one (data x model) mesh over
+    # every device — the reference's DDP wrap (func/train.py:771-782) is the
+    # 'data' axis; 'model' is a tensor-parallel seam it never had.
+    setup_distributed(logger)
+    pcfg = cfg.get("parallel") or {}
+    n_model = int(pcfg.get("model_size") or 1)
+    n_data = jax.device_count() // n_model
+    mesh = make_mesh(n_data, n_model)
+
+    def place_batch(batch, batch_axis=0):
+        return shard_batch(batch, mesh, batch_axis=batch_axis)
 
     train_datasets, eval_datasets = build_all_datasets(cfg)
     if len(train_datasets) == 1:
@@ -61,11 +80,16 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     num_classes = {k: len(v) for k, v in train_dataset.classes.items()}
     class_mappings = train_dataset.class_mappings
 
+    # cfg batch_size is per data-parallel replica (reference: per GPU); the
+    # loader on each process feeds its 1/process_count share of the global
+    # batch, and the 'data' sharding reassembles the global array.
     world_size = jax.process_count()
-    batch_size = cfg["train"]["batch_size"] * jax.local_device_count()
+    batch_size = cfg["train"]["batch_size"] * n_data // world_size
     eval_bs = (cfg["eval"].get("batch_size") or cfg["train"]["batch_size"])
-    eval_bs *= jax.local_device_count()
-    keys = ["video", "target", "target_subclips", "idx", "uid"]
+    eval_bs = eval_bs * n_data // world_size
+    keys = ["video", "target", "target_subclips", "idx", "uid"] + [
+        f"future_{i}_video" for i in range(8)  # SSL future clips, if any
+    ]
     train_loader = DataLoader(
         train_dataset,
         batch_size,
@@ -126,15 +150,67 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     )
     if cfg["train"].get("init_from_model"):
         params = init_from_model(params, cfg["train"]["init_from_model"])
+    # params onto the mesh: replicated over 'data' (DDP), fat matmuls
+    # sharded over 'model'; opt_state inherits via tx.init
+    params = shard_params(params, mesh)
 
     iters_per_epoch = max(len(train_loader), 1)
     tx, _ = build_optimizer_from_cfg(
         cfg, params, iters_per_epoch=iters_per_epoch,
-        world_size=jax.device_count(),
+        world_size=n_data,
     )
-    train_step = make_train_step(
-        model, tx, loss_weights(cfg), num_classes=num_classes,
-        preprocess_fn=train_pp_fn,
+    # train_eval_op from config (reference func/train.py:787-791)
+    op_cfg = cfg.get("train_eval_op") or {}
+    cls_cfg = op_cfg.get("cls_loss_acc_fn") or {}
+    class_weights = None
+    if cls_cfg.get("balance_classes"):
+        # inverse-frequency CE weights from dataset class counts
+        # (reference train_eval_ops.py:30-41)
+        from avt_tpu.train.ops import balance_weights_from_counts
+
+        class_weights = {
+            task: balance_weights_from_counts(
+                train_dataset.classes_counts[task], n
+            )
+            for task, n in num_classes.items()
+        }
+    if op_cfg.get("name") == "pred_future_feat":
+        from avt_tpu.config.registry import instantiate
+        from avt_tpu.train.step import make_ssl_train_step
+
+        combine = op_cfg.get("combine_future_losses", "min")
+        if isinstance(combine, dict):  # reference-style {_target_: torch.min}
+            combine = combine["_target_"].rsplit(".", 1)[-1]
+        nfutures = len(
+            [k for k in batch0 if k.startswith("future_") and k.endswith("_video")]
+        )
+        if nfutures == 0:
+            raise ValueError(
+                "train_eval_op=pred_future_feat needs future clips: set "
+                "dataset_train.return_future_clips_too=true"
+            )
+        raw_step = make_ssl_train_step(
+            model, tx, loss_weights(cfg), num_classes=num_classes,
+            reg_criterion=instantiate(op_cfg["reg_criterion"]),
+            nfutures=nfutures,
+            future_target=op_cfg.get("future_target", "temp_agg_projected"),
+            incur_loss_style=op_cfg.get("incur_loss_style", "separately"),
+            combine_future_losses=combine,
+            cumulative_future=op_cfg.get("cumulative_future", False),
+            class_weights=class_weights,
+            use_cls_loss=cls_cfg.get("name", "basic") != "no",
+            jit_compile=False,
+        )
+    else:
+        raw_step = make_train_step(
+            model, tx, loss_weights(cfg), num_classes=num_classes,
+            class_weights=class_weights,
+            preprocess_fn=train_pp_fn, jit_compile=False,
+        )
+    train_step = jax.jit(raw_step, donate_argnums=(0,))
+    unroll_steps = int(cfg["train"].get("unroll_steps") or 1)
+    multi_step = (
+        make_multi_step(raw_step, unroll_steps) if unroll_steps > 1 else None
     )
     eval_step = make_eval_step(
         model, num_classes=num_classes,
@@ -142,6 +218,25 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         preprocess_fn=eval_pp_fn,
     )
     state = TrainState.create(params, tx)
+
+    # ReduceLROnPlateau: stepped on the val metric after each eval
+    # (reference common/scheduler.py:78-85, func/train.py:832-834)
+    plateau_fn = None
+    scfg = cfg["opt"]["scheduler"]
+    if scfg.get("name") == "reduce_lr_on_plateau":
+        from avt_tpu.train.optim import ReduceLROnPlateau
+
+        tracker = ReduceLROnPlateau(
+            mode=scfg.get("mode", "min"),
+            factor=scfg.get("factor", 0.1),
+            patience=scfg.get("patience", 10),
+            threshold=scfg.get("threshold", 1e-4),
+            threshold_mode=scfg.get("threshold_mode", "rel"),
+            cooldown=scfg.get("cooldown", 0),
+        )
+
+        def plateau_fn(state, metric):
+            return state.replace(opt_state=tracker.step(state.opt_state, metric))
 
     def eval_fn(state, epoch):
         return evaluate(
@@ -151,6 +246,7 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
             only_run_featext=cfg["eval"]["eval_fn"].get(
                 "only_run_featext", False),
             logger=logger, rank=jax.process_index(),
+            place_batch=place_batch,
         )
 
     if cfg.get("test_only"):
@@ -163,6 +259,10 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         train_loader=train_loader,
         eval_fn=eval_fn if eval_loaders else None,
         num_epochs=cfg["train"]["num_epochs"],
+        multi_step=multi_step,
+        unroll_steps=unroll_steps,
+        place_batch=place_batch,
+        plateau=plateau_fn,
         ckpt_dir=work_dir,
         eval_freq=cfg["train"].get("eval_freq", 1),
         store_best=cfg["train"].get("store_best", False),

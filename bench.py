@@ -44,6 +44,7 @@ def main():
     pp = VideoPreprocessor(
         crop_size=224, scale_h="248-280", scale_w=-1,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), flip_p=0.5,
+        compute_dtype=jnp.bfloat16,  # full-res pass in bf16 (HBM-bound)
     )
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -65,7 +66,7 @@ def main():
         iters_per_epoch=1000,
         num_epochs=30,
         warmup_epochs=20,
-        optimizer_kwargs={"nesterov": True},
+        optimizer_kwargs={"nesterov": True, "momentum_dtype": "bfloat16"},
     )
     inner = make_train_step(
         model, tx,
@@ -93,13 +94,13 @@ def main():
     batches = {"frames": frames, "target": target, "tsub": tsub}
     t0 = time.time()
     state, m = multi(state, batches, jax.random.PRNGKey(1))
-    loss0 = float(m["loss"])  # fetch forces completion
+    loss0 = float(m["loss"][-1])  # fetch forces completion
     log(f"train step compiled in {time.time() - t0:.0f}s, loss={loss0:.3f}")
     n_rounds = 4
     t0 = time.time()
     for i in range(n_rounds):
         state, m = multi(state, batches, jax.random.PRNGKey(i))
-    _ = float(m["loss"])  # fetch-forced timing
+    _ = float(m["loss"][-1])  # fetch-forced timing
     dt = (time.time() - t0) / (n_rounds * K)
     clips_per_sec = B / dt
     print(

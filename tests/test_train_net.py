@@ -124,6 +124,74 @@ def test_train_net_main_expts02_topology(ek_tree, tmp_path):
     assert os.path.exists(os.path.join(work_dir, "results", "0.h5"))
 
 
+def test_train_net_distributed_sharding(ek_tree, tmp_path, monkeypatch):
+    """The REAL trainer path shards batches on the 'data' mesh axis and
+    dispatches the K-step scanned multi_step (VERDICT r1 item 1)."""
+    import jax
+
+    import avt_tpu.parallel as par
+    from avt_tpu.parallel.mesh import shard_batch as real_shard_batch
+
+    placed = []
+
+    def spy(batch, mesh, batch_axis=0):
+        out = real_shard_batch(batch, mesh, batch_axis=batch_axis)
+        leaf = out["video"] if "video" in out else jax.tree.leaves(out)[0]
+        placed.append((batch_axis, str(leaf.sharding.spec)))
+        return out
+
+    monkeypatch.setattr(par, "shard_batch", spy)
+    overrides = [
+        "train.batch_size=2",  # x8 virtual devices = 16 global
+        "eval.batch_size=2",
+        "train.num_epochs=1",
+        "train.unroll_steps=2",
+        "train.eval_freq=1",
+        "train.train_one_epoch_fn.loss_wts.feat=1.0",
+        "train.train_one_epoch_fn.save_freq_min=null",
+        "model/backbone=identity",
+        f"model.backbone_dim={C}",
+        "model/temporal_aggregator=identity",
+        "model/future_predictor=avth",
+        "+model.future_predictor.n_head=2",
+        "+model.future_predictor.n_layer=2",
+        "+model.future_predictor.inter_dim=32",
+        "+model.future_predictor.output_len=1",
+        "+model.future_predictor.avg_last_n=1",
+        "+model.future_predictor.return_past_too=true",
+        "+model.future_predictor.future_pred_loss={_target_: torch.nn.MSELoss}",
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose("config", [parse_override(o) for o in overrides])
+    work_dir = str(tmp_path / "run_dist")
+    os.makedirs(work_dir)
+    metric = main(cfg, work_dir)
+    assert 0.0 <= metric <= 100.0
+    # train batches placed for the scanned multi_step: batch dim (axis 1
+    # under the K scan axis) sharded on 'data'
+    multi_placed = [s for ax, s in placed if ax == 1]
+    assert multi_placed, f"multi_step path never dispatched: {placed}"
+    assert all("data" in s for s in multi_placed), multi_placed
+    # eval batches sharded on 'data' at axis 0
+    eval_placed = [s for ax, s in placed if ax == 0]
+    assert any("data" in s for s in eval_placed), eval_placed
+
+
 def test_train_net_test_only(ek_tree, tmp_path):
     """test_only=true short-circuits to evaluation."""
     overrides = [
@@ -155,3 +223,106 @@ def test_train_net_test_only(ek_tree, tmp_path):
     os.makedirs(work_dir)
     metric = main(cfg, work_dir)
     assert 0.0 <= metric <= 100.0
+
+
+def test_train_net_ssl_op_from_config(ek_tree, tmp_path):
+    """cfg[train_eval_op]=pred_future_feat builds the SSL step end-to-end
+    (VERDICT r1 item 3): future clips flow from the dataset through the
+    loader into make_ssl_train_step with the InfoNCE reg criterion."""
+    overrides = [
+        "train_eval_op=pred_future_feat",
+        "train_eval_op/reg_criterion=simclr_infonce",
+        "train.batch_size=2",
+        "eval.batch_size=2",
+        "train.num_epochs=2",
+        "train.eval_freq=2",
+        "train.unroll_steps=2",
+        "train.train_one_epoch_fn.loss_wts.feat=0.0",
+        "train.train_one_epoch_fn.save_freq_min=null",
+        "model/backbone=identity",
+        f"model.backbone_dim={C}",
+        "model/temporal_aggregator=mean",
+        f"model.project_dim_for_nce={C}",
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        "+dataset_train.return_future_clips_too=true",
+        "dataset_train.conv_to_anticipate_fn.tau_a=1",
+        "dataset_train.conv_to_anticipate_fn.tau_o=10",
+        "dataset_eval.conv_to_anticipate_fn.tau_a=1",
+        "dataset_eval.conv_to_anticipate_fn.tau_o=10",
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose("config", [parse_override(o) for o in overrides])
+    assert cfg["train_eval_op"]["name"] == "pred_future_feat"
+    work_dir = str(tmp_path / "run_ssl")
+    os.makedirs(work_dir)
+    metric = main(cfg, work_dir)
+    assert 0.0 <= metric <= 100.0
+
+
+def test_train_net_balance_classes_from_config(ek_tree, tmp_path, monkeypatch):
+    """cfg cls_loss_acc_fn.balance_classes=true feeds dataset class counts
+    into weighted CE (VERDICT r1 item 8; reference train_eval_ops.py:30-41)."""
+    import avt_tpu.train.ops as ops_mod
+
+    captured = {}
+    real = ops_mod.balance_weights_from_counts
+
+    def spy(counts, num_classes):
+        w = real(counts, num_classes)
+        captured["weights"] = np.asarray(w)
+        captured["counts"] = dict(counts)
+        return w
+
+    monkeypatch.setattr(ops_mod, "balance_weights_from_counts", spy)
+    overrides = [
+        "train_eval_op.cls_loss_acc_fn.balance_classes=true",
+        "train.batch_size=2",
+        "eval.batch_size=2",
+        "train.num_epochs=1",
+        "train.eval_freq=1",
+        "train.train_one_epoch_fn.loss_wts.feat=0.0",
+        "train.train_one_epoch_fn.save_freq_min=null",
+        "model/backbone=identity",
+        f"model.backbone_dim={C}",
+        "model/temporal_aggregator=mean",
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose("config", [parse_override(o) for o in overrides])
+    assert cfg["train_eval_op"]["cls_loss_acc_fn"]["balance_classes"] is True
+    work_dir = str(tmp_path / "run_bal")
+    os.makedirs(work_dir)
+    metric = main(cfg, work_dir)
+    assert 0.0 <= metric <= 100.0
+    # weights actually derived from the dataset's class counts
+    assert "weights" in captured and captured["weights"].shape == (N_CLS,)
+    assert (captured["weights"] > 0).any()
+    assert sum(captured["counts"].values()) > 0
