@@ -81,6 +81,7 @@ class VideoDataset:
         sample_strategy: str = SAMPLE_STRAT_RAND,
         sample_strategy_future: str = SAMPLE_STRAT_FIRST,
         conv_to_anticipate_fn: Optional[Callable] = None,
+        conv_to_anticipate_fn_runtime: Optional[Callable] = None,
         process_df_before_read_fn: Optional[Callable] = None,
         sample_clips_densely_fn: Optional[Callable] = None,
         random_seed: int = 42,
@@ -100,12 +101,23 @@ class VideoDataset:
         if sample_clips_densely_fn is not None:
             self.df, _ = sample_clips_densely_fn(self.df)
         self.conv_to_anticipate_fn = conv_to_anticipate_fn
+        # Runtime variant: applied per ROW in __getitem__ (for datasets too
+        # large to convert up front, e.g. HowTo100M-style dense data;
+        # reference base_video_dataset.py:291,323,773-778 declares the hook
+        # without shipping an implementation either).
+        assert not (conv_to_anticipate_fn and conv_to_anticipate_fn_runtime), (
+            "conv_to_anticipate_fn and conv_to_anticipate_fn_runtime are "
+            "mutually exclusive"
+        )
+        self.conv_to_anticipate_fn_runtime = conv_to_anticipate_fn_runtime
         self.discarded_df = None
         if conv_to_anticipate_fn is not None:
             self.df, self.discarded_df = conv_to_anticipate_fn(self.df)
         # Interface key for challenge submission packaging.
         self.challenge_type = (
-            "action_anticipation" if conv_to_anticipate_fn else "action_recognition"
+            "action_anticipation"
+            if (conv_to_anticipate_fn or conv_to_anticipate_fn_runtime)
+            else "action_recognition"
         )
         self.subclips_options = subclips_options
         self.load_seg_labels = load_seg_labels
@@ -306,6 +318,10 @@ class VideoDataset:
         idx = self._class_balance_data_idx(idx)
         idx = self._repeat_process_idx(idx)
         row = self.df.loc[idx, :]
+        if self.conv_to_anticipate_fn_runtime is not None:
+            row = self.conv_to_anticipate_fn_runtime(row, self.df)
+            if row is None:
+                return None
         if self.process_df_before_read_fn is not None:
             row = self.process_df_before_read_fn(row, self)
         if row is None:

@@ -126,34 +126,65 @@ def get_video_info(path) -> Dict[str, float]:
     return {"fps": h.fps, "len": h.duration}
 
 
-class LibavVideoReader(Reader):
-    """Raw-video reader over the native decoder, with per-path handle cache."""
+class _HandlePool:
+    """Per-path pool of decoder handles.
 
-    def __init__(self, cache_handles: bool = True):
+    Anticipation datasets read MANY clips from the SAME video file (EK100
+    has hundreds of actions per kitchen video), so loader threads pile onto
+    one path. A single cached handle would serialize them on its decode
+    lock — the pool hands each concurrent reader its own AVFormatContext
+    (decoders scale across cores; the GIL is released inside the ctypes
+    call) and recycles contexts afterwards to amortize open/probe cost.
+    """
+
+    def __init__(self, max_per_path: int = 32):
+        self._free: Dict[str, list] = {}
+        self._lock = threading.Lock()
+        self._max = max_per_path
+
+    def acquire(self, path: str) -> _Handle:
+        with self._lock:
+            free = self._free.setdefault(path, [])
+            if free:
+                return free.pop()
+        return _Handle(path)
+
+    def release(self, path: str, handle: _Handle) -> None:
+        with self._lock:
+            free = self._free.setdefault(path, [])
+            if len(free) < self._max:
+                free.append(handle)
+                return
+        # over capacity: drop (closes via __del__)
+
+
+class LibavVideoReader(Reader):
+    """Raw-video reader over the native decoder (pooled handles)."""
+
+    def __init__(self, cache_handles: bool = True, max_pool_per_path: int = 32):
         _load_lib()
         self.cache_handles = cache_handles
-        self._cache: Dict[str, _Handle] = {}
-        self._lock = threading.Lock()
-
-    def _handle(self, path) -> _Handle:
-        key = str(path)
-        if not self.cache_handles:
-            return _Handle(key)
-        with self._lock:
-            if key not in self._cache:
-                self._cache[key] = _Handle(key)
-            return self._cache[key]
+        self._pool = _HandlePool(max_pool_per_path if cache_handles else 0)
 
     def get_frame_rate(self, video_path) -> float:
+        key = str(video_path)
         try:
-            return self._handle(video_path).fps
+            h = self._pool.acquire(key)
         except IOError:
             return 0.0  # empty-clip path downstream
+        try:
+            return h.fps
+        finally:
+            self._pool.release(key, h)
 
     def __call__(self, video_path, start_sec, end_sec, fps, row):
+        key = str(video_path)
         try:
-            handle = self._handle(video_path)
+            handle = self._pool.acquire(key)
         except IOError:
             return np.zeros((0, 1, 1, 3), dtype=np.uint8), {}
-        frames, pts = handle.read_range(start_sec, end_sec)
-        return frames, {"video_fps": handle.fps}
+        try:
+            frames, pts = handle.read_range(start_sec, end_sec)
+            return frames, {"video_fps": handle.fps}
+        finally:
+            self._pool.release(key, handle)

@@ -341,3 +341,81 @@ def summarize_results(
             "std": float(np.std(vals)),
         }
     return summary
+
+
+# ------------------------------------------------------ per-class plots
+def plot_per_cls_perf(
+    per_cls_accs: Sequence[Sequence[Dict[int, float]]],
+    names: Sequence[str],
+    *,
+    cls_id_to_name: Optional[Dict[int, str]] = None,
+    show_topn: int = 10,
+    show_subset=None,
+    xticks_rotation: float = 0.0,
+    ylabel: str = "Recall @ 5",
+    outfpath: Optional[str] = None,
+):
+    """Bar chart of per-class accuracy for the classes the LAST method
+    improves most over the FIRST (reference notebooks/utils.py:801-881).
+
+    per_cls_accs: one list per method, each a list of per-run
+    {cls_id: accuracy} dicts (e.g. the 'vrec5_per_cls' entry of
+    compute_accuracies_epic for each run_id of a sweep).
+
+    Returns (figure, gained_class_names); saves a PDF when outfpath is set.
+    matplotlib imports lazily so headless training never pays for it.
+    """
+    assert len(per_cls_accs) == len(names)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cls_id_to_name = cls_id_to_name or {}
+    rows = []  # (method, run_id, cls_name, acc)
+    for name, runs in zip(names, per_cls_accs):
+        for run_id, accs in enumerate(runs):
+            for cls_id, score in accs.items():
+                rows.append(
+                    (name, run_id, cls_id_to_name.get(cls_id, str(cls_id)),
+                     float(score))
+                )
+    df = pd.DataFrame(rows, columns=["method", "run_id", "cls_name", "acc"])
+    mean_by_cls = (
+        df.groupby(["method", "cls_name"])["acc"].mean().reset_index()
+    )
+    first = mean_by_cls[mean_by_cls.method == names[0]]
+    last = mean_by_cls[mean_by_cls.method == names[-1]]
+    merged = first[["cls_name", "acc"]].merge(
+        last[["cls_name", "acc"]], on="cls_name", how="outer",
+        suffixes=["_first", "_last"],
+    )
+    gains = (merged["acc_last"] - merged["acc_first"]).sort_values()
+    gained = merged.loc[gains.index].cls_name.tolist()
+    if show_subset is not None:
+        gained = [el for el in gained if show_subset(el)]
+    gained = gained[-show_topn:]
+
+    fig, ax = plt.subplots(
+        figsize=(max(2 * len(gained), 4), 4), dpi=150
+    )
+    width = 0.8 / max(len(names), 1)
+    xs = np.arange(len(gained))
+    for mi, name in enumerate(names):
+        sub = df[df.method == name]
+        means = [sub[sub.cls_name == c]["acc"].mean() for c in gained]
+        stds = [sub[sub.cls_name == c]["acc"].std(ddof=0) for c in gained]
+        ax.bar(
+            xs + (mi - (len(names) - 1) / 2) * width, means, width,
+            yerr=np.nan_to_num(stds), label=name, capsize=2,
+        )
+    ax.set_xticks(xs)
+    ax.set_xticklabels(gained, rotation=xticks_rotation, ha="center")
+    ax.set_xlabel("Classes")
+    ax.set_ylabel(ylabel)
+    ax.legend()
+    fig.tight_layout()
+    if outfpath:
+        os.makedirs(osp.dirname(outfpath) or ".", exist_ok=True)
+        fig.savefig(outfpath)
+    return fig, gained

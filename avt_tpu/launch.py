@@ -50,7 +50,12 @@ def main(argv=None):
     parser.add_argument("--delete", action="store_true",
                         help="delete this experiment's outputs")
     parser.add_argument("--print-cmd", action="store_true",
-                        help="print the per-host command and exit")
+                        help="print the per-host command(s) and exit")
+    parser.add_argument("--nodes", type=int, default=None,
+                        help="host count for --print-cmd; defaults to the "
+                             "config's hydra.launcher.nodes")
+    parser.add_argument("--coordinator", default="${COORDINATOR_ADDRESS}",
+                        help="host:port of process 0 for multi-host runs")
     parser.add_argument("--profile", action="store_true",
                         help="serve a jax.profiler trace server during the run")
     parser.add_argument("extra", nargs="*", help="extra overrides")
@@ -78,7 +83,24 @@ def main(argv=None):
     if args.run_id is not None:
         cmd_tail += ["--run-id", str(args.run_id)]
     if args.print_cmd:
-        print(" ".join([sys.executable, "-m", "avt_tpu.train_net"] + cmd_tail))
+        # multi-host: one command per host with the jax.distributed env
+        # (the reference's SLURM nodes x tasks topology, common/utils.py:
+        # 106-150; our setup_distributed reads exactly these variables)
+        nodes = args.nodes
+        if nodes is None:
+            nodes = next(
+                (int(o.value) for o in variants[0]
+                 if o.key == "hydra.launcher.nodes"), 1,
+            )
+        base = " ".join([sys.executable, "-m", "avt_tpu.train_net"] + cmd_tail)
+        if nodes <= 1:
+            print(base)
+        else:
+            for pid in range(nodes):
+                print(
+                    f"JAX_COORDINATOR_ADDRESS={args.coordinator} "
+                    f"JAX_NUM_PROCESSES={nodes} JAX_PROCESS_ID={pid} {base}"
+                )
         return
     if args.profile:
         import jax

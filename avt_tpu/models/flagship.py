@@ -57,6 +57,7 @@ def build_avt(
             avg_last_n=avg_last_n,
             return_past_too=True,
             future_pred_loss=lambda p, t: mse(p, t, reduction="none"),
+            dtype=vit_dtype,  # head compute matches the backbone dtype
         ),
         temporal_aggregator_after_future_pred=IdentityAgg(in_features=bb_dim),
         classifiers={"action": LinearClassifier(out_features=num_actions)},

@@ -102,6 +102,7 @@ class AVTh(nn.Module):
     quantize_before_rollout: bool = False
     num_cluster_centers: int = 50000
     centroids: Optional[Any] = None  # (K, C) array for on-the-fly assignment
+    dtype: Optional[Any] = None  # GPT core compute dtype (params stay f32)
 
     def setup(self):
         self.quantized_input = self.in_features == 1 or self.centroids is not None
@@ -129,6 +130,7 @@ class AVTh(nn.Module):
             embd_dropout=self.embd_pdrop,
             attn_dropout=self.attn_pdrop,
             resid_dropout=self.resid_pdrop,
+            dtype=self.dtype,
             name="gpt",
         )
 

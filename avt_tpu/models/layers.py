@@ -28,7 +28,10 @@ def gelu_new(x: jax.Array) -> jax.Array:
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention with fused qkv projection."""
+    """Multi-head self-attention with fused qkv projection.
+
+    dtype: compute dtype (params stay f32); bf16 for MXU throughput.
+    """
 
     num_heads: int
     causal: bool = False
@@ -37,13 +40,14 @@ class SelfAttention(nn.Module):
     out_features: Optional[int] = None
     qkv_init: Any = nn.linear.default_kernel_init
     proj_init: Any = nn.linear.default_kernel_init
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mask=None):
         B, T, C = x.shape
         out_dim = self.out_features or C
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, kernel_init=self.qkv_init, name="qkv")(x)
+        qkv = nn.Dense(3 * C, kernel_init=self.qkv_init, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, self.num_heads, head_dim)
         k = k.reshape(B, T, self.num_heads, head_dim)
@@ -54,7 +58,7 @@ class SelfAttention(nn.Module):
         # regularization behavior and keeps the kernel fused.
         out = nn.Dropout(self.attn_dropout, deterministic=not train)(out)
         out = out.reshape(B, T, C)
-        out = nn.Dense(out_dim, kernel_init=self.proj_init, name="proj")(out)
+        out = nn.Dense(out_dim, kernel_init=self.proj_init, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.resid_dropout, deterministic=not train)(out)
         return out
 
@@ -74,10 +78,11 @@ class GPT2Block(nn.Module):
     attn_dropout: float = 0.1
     resid_dropout: float = 0.1
     ln_eps: float = 1e-5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = nn.LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + SelfAttention(
             num_heads=self.num_heads,
             causal=True,
@@ -85,14 +90,19 @@ class GPT2Block(nn.Module):
             resid_dropout=self.resid_dropout,
             qkv_init=GPT2_INIT,
             proj_init=GPT2_INIT,
+            dtype=self.dtype,
             name="attn",
         )(h, train=train)
-        h = nn.LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(
-            self.mlp_ratio * x.shape[-1], kernel_init=GPT2_INIT, name="mlp_fc"
+            self.mlp_ratio * x.shape[-1], kernel_init=GPT2_INIT,
+            dtype=self.dtype, name="mlp_fc",
         )(h)
         h = gelu_new(h)
-        h = nn.Dense(x.shape[-1], kernel_init=GPT2_INIT, name="mlp_proj")(h)
+        h = nn.Dense(
+            x.shape[-1], kernel_init=GPT2_INIT, dtype=self.dtype,
+            name="mlp_proj",
+        )(h)
         h = nn.Dropout(self.resid_dropout, deterministic=not train)(h)
         return x + h
 
@@ -113,6 +123,7 @@ class GPT2Core(nn.Module):
     attn_dropout: float = 0.1
     resid_dropout: float = 0.1
     ln_eps: float = 1e-5
+    dtype: Optional[Any] = None  # compute dtype (e.g. bf16); params f32
 
     @nn.compact
     def __call__(self, inputs_embeds, *, train: bool = False, position_offset: int = 0):
@@ -120,6 +131,8 @@ class GPT2Core(nn.Module):
         wpe = self.param("wpe", GPT2_INIT, (self.n_positions, C))
         pos = jax.lax.dynamic_slice_in_dim(wpe, position_offset, T, axis=0)
         x = inputs_embeds + pos[None]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Dropout(self.embd_dropout, deterministic=not train)(x)
         for i in range(self.n_layer):
             x = GPT2Block(
@@ -127,9 +140,11 @@ class GPT2Core(nn.Module):
                 attn_dropout=self.attn_dropout,
                 resid_dropout=self.resid_dropout,
                 ln_eps=self.ln_eps,
+                dtype=self.dtype,
                 name=f"h_{i}",
             )(x, train=train)
-        return nn.LayerNorm(epsilon=self.ln_eps, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_f")(x)
+        return x.astype(jnp.float32) if self.dtype is not None else x
 
 
 def sincos_positional_encoding(max_len: int, d_model: int) -> jnp.ndarray:

@@ -60,6 +60,7 @@ def train_one_epoch(
     last_saved_time: Optional[datetime.datetime] = None,
     rank: int = 0,
     writer=None,
+    host_state_fn: Optional[Callable] = None,
 ):
     """Run (the rest of) one epoch; returns (state, last_saved_time).
 
@@ -113,7 +114,10 @@ def train_one_epoch(
             names = [CKPT_NAME]
             if save_intermediates:
                 names.append(f"{CKPT_NAME}_ep{cur_epoch:.8f}")
-            save_checkpoint(ckpt_dir, state, cur_epoch, names=tuple(names), rank=rank)
+            save_checkpoint(
+                ckpt_dir, state, cur_epoch, names=tuple(names), rank=rank,
+                host_state=host_state_fn() if host_state_fn else None,
+            )
             last_saved_time = now
             last_save_bucket = bucket
 
@@ -192,11 +196,21 @@ def run_training(
 ) -> TrainState:
     """Full training driver with auto-resume (func/train.py:760-840)."""
     writer = make_tb_writer(tb_dir, rank) if tb_dir else None
+    # plateau counters persist through checkpoints (the reference stores
+    # its scheduler state_dict too, func/train.py:52-74)
+    host_state_fn = (
+        plateau.state_dict if hasattr(plateau, "state_dict") else None
+    )
     start_epoch = 0.0
     if ckpt_dir:
-        restored = restore_checkpoint(ckpt_dir, state)
+        restored = restore_checkpoint(
+            ckpt_dir, state,
+            host_template=host_state_fn() if host_state_fn else None,
+        )
         if restored is not None:
-            state, start_epoch = restored
+            state, start_epoch = restored[0], restored[1]
+            if host_state_fn and len(restored) > 2:
+                plateau.load_state_dict(restored[2])
             if logger:
                 logger.info("Resumed from epoch %.4f", start_epoch)
     rng = jax.random.PRNGKey(seed)
@@ -224,10 +238,14 @@ def run_training(
             last_saved_time=last_saved,
             rank=rank,
             writer=writer,
+            host_state_fn=host_state_fn,
         )
         partial = 0.0
         if ckpt_dir:
-            save_checkpoint(ckpt_dir, state, float(epoch + 1), rank=rank)
+            save_checkpoint(
+                ckpt_dir, state, float(epoch + 1), rank=rank,
+                host_state=host_state_fn() if host_state_fn else None,
+            )
             last_saved = datetime.datetime.now()
         if eval_fn is not None and (epoch + 1) % eval_freq == 0:
             metric = eval_fn(state, float(epoch + 1))
@@ -242,7 +260,9 @@ def run_training(
             if store_best and metric > best_metric and ckpt_dir:
                 best_metric = metric
                 save_checkpoint(
-                    ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,), rank=rank
+                    ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,),
+                    rank=rank,
+                    host_state=host_state_fn() if host_state_fn else None,
                 )
         epoch += 1
     return state

@@ -78,8 +78,8 @@ class ReduceLROnPlateau:
 
     step(opt_state, metric) returns the (possibly reduced) opt_state. The
     multiplier itself lives in the optax state so it checkpoints with the
-    run; the best/bad-epoch counters are host state (reset on resume —
-    strictly more conservative than the reference, which persists them).
+    TrainState; the best/bad-epoch counters ride the checkpoint's host_state
+    (state_dict/load_state_dict, wired by run_training).
     """
 
     def __init__(
@@ -126,6 +126,26 @@ class ReduceLROnPlateau:
             self.cooldown_counter = self.cooldown
             self.num_bad_epochs = 0
         return opt_state
+
+    def __call__(self, train_state, metric: float):
+        """run_training plateau hook: returns the updated TrainState."""
+        return train_state.replace(
+            opt_state=self.step(train_state.opt_state, metric)
+        )
+
+    def state_dict(self) -> dict:
+        """Host counters for checkpointing (the multiplier itself lives in
+        opt_state and checkpoints with the TrainState)."""
+        return {
+            "best": float(self.best),
+            "num_bad_epochs": int(self.num_bad_epochs),
+            "cooldown_counter": int(self.cooldown_counter),
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d["best"])
+        self.num_bad_epochs = int(d["num_bad_epochs"])
+        self.cooldown_counter = int(d["cooldown_counter"])
 
 
 # --------------------------------------------------------------- schedules

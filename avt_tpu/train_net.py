@@ -226,7 +226,7 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     if scfg.get("name") == "reduce_lr_on_plateau":
         from avt_tpu.train.optim import ReduceLROnPlateau
 
-        tracker = ReduceLROnPlateau(
+        plateau_fn = ReduceLROnPlateau(
             mode=scfg.get("mode", "min"),
             factor=scfg.get("factor", 0.1),
             patience=scfg.get("patience", 10),
@@ -234,9 +234,6 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
             threshold_mode=scfg.get("threshold_mode", "rel"),
             cooldown=scfg.get("cooldown", 0),
         )
-
-        def plateau_fn(state, metric):
-            return state.replace(opt_state=tracker.step(state.opt_state, metric))
 
     def eval_fn(state, epoch):
         return evaluate(

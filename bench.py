@@ -10,10 +10,12 @@ the device measurement; timing is fetch-forced. Prints ONE JSON line.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 its hardware was V100-16GB at batch 3/GPU, fp32 (no AMP anywhere in
-func/train.py). A generous fp32 V100 estimate for this model is ~20 clips/s
-(ViT-B ~17.6 GFLOPs/frame x 10 frames x 3 for fwd+bwd = 0.53 TFLOPs/clip at
-~10 TFLOP/s achieved) -- vs_baseline = measured / 20.0 = how many V100s one
-TPU chip replaces on this workload.
+func/train.py). The model costs ~1.06 TFLOPs/clip (ViT-B = 17.6 GMACs =
+35.2 GFLOPs per frame, x10 frames, x3 for fwd+bwd). The 20 clips/s V100
+denominator is deliberately GENEROUS: it implies ~21 TFLOP/s sustained,
+above V100 fp32 peak (15.7), so vs_baseline understates the real speedup.
+vs_baseline = measured / 20.0 = how many idealized V100s one TPU chip
+replaces on this workload.
 """
 import json
 import sys

@@ -148,3 +148,28 @@ def test_load_external_json_roundtrip(ds, tmp_path):
 def softmax(x):
     e = np.exp(x - x.max(-1, keepdims=True))
     return e / e.sum(-1, keepdims=True)
+
+
+def test_plot_per_cls_perf(tmp_path):
+    """Per-class gain plot (reference notebooks/utils.py:801-881): picks the
+    top-N classes the last method improves over the first, renders + saves."""
+    from avt_tpu.evaluate.analysis import plot_per_cls_perf
+
+    base = [{0: 10.0, 1: 50.0, 2: 30.0}, {0: 12.0, 1: 48.0, 2: 30.0}]
+    ours = [{0: 40.0, 1: 50.0, 2: 35.0}, {0: 42.0, 1: 52.0, 2: 35.0}]
+    out = tmp_path / "figs" / "verb.pdf"
+    fig, gained = plot_per_cls_perf(
+        [base, ours], ["baseline", "avt_tpu"],
+        cls_id_to_name={0: "take", 1: "put", 2: "open"},
+        show_topn=2, outfpath=str(out),
+    )
+    # class 0 gains +30, class 2 gains +5, class 1 gains +2 -> top-2 ordered
+    assert gained == ["open", "take"]
+    assert out.exists() and out.stat().st_size > 0
+    # show_subset filters before the top-N cut
+    _, gained2 = plot_per_cls_perf(
+        [base, ours], ["baseline", "avt_tpu"],
+        cls_id_to_name={0: "take", 1: "put", 2: "open"},
+        show_topn=2, show_subset=lambda n: n != "take",
+    )
+    assert "take" not in gained2

@@ -297,3 +297,40 @@ def test_dataset_uid_subset(feat_store):
     ds = _mk_dataset(root, uid_subset=[3, 1])
     assert len(ds) == 2
     assert ds[0]["uid"] == 3 and ds[1]["uid"] == 1
+
+
+def test_conv_to_anticipate_fn_runtime_hook(feat_store):
+    """Per-row runtime anticipation (reference base_video_dataset.py:773-778):
+    the hook rewrites each row at __getitem__ time; None rows are skipped
+    items; mutually exclusive with the offline conversion."""
+    from avt_tpu.data.anticipation import convert_to_anticipation
+
+    root, C = feat_store
+    calls = []
+
+    def runtime_conv(row, df):
+        calls.append(row["uid"])
+        if row["uid"] == 2:
+            return None  # simulates a row whose window falls off the video
+        row = row.copy()
+        converted, _ = convert_to_anticipation(
+            pd.DataFrame([row]), tau_a=1.0, tau_o=10.0
+        )
+        return None if converted.empty else converted.iloc[0]
+
+    ds = _mk_dataset(
+        root, conv_to_anticipate_fn=None,
+        conv_to_anticipate_fn_runtime=runtime_conv,
+    )
+    item0 = ds[0]
+    assert item0 is not None and calls, "hook never invoked"
+    # compare against the offline conversion of the same row
+    ds_off = _mk_dataset(root)
+    item_off = ds_off[0]
+    np.testing.assert_allclose(item0["video"], item_off["video"])
+    # a None from the hook drops the item (loader backfills)
+    uid2_idx = int(ds.df.index[ds.df["uid"] == 2][0])
+    assert ds[uid2_idx] is None
+    # mutual exclusion enforced
+    with pytest.raises(AssertionError):
+        _mk_dataset(root, conv_to_anticipate_fn_runtime=runtime_conv)

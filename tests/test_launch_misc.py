@@ -88,3 +88,18 @@ def test_launcher_print_cmd_and_delete(tmp_path, capsys, monkeypatch):
     (tmp_path / od / "junk.txt").write_text("x")
     launch_main(["-c", str(expt), "--delete"])
     assert not os.path.exists(od)
+
+
+def test_launcher_print_cmd_multihost(capsys):
+    """--print-cmd emits one per-host command with the jax.distributed env
+    (the reference's SLURM nodes topology; setup_distributed reads these)."""
+    from avt_tpu.launch import main as launch_main
+
+    launch_main(["-c", "expts/01_ek100_avt.txt", "--print-cmd"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 4  # expt 01 declares hydra.launcher.nodes=4
+    for pid, line in enumerate(out):
+        assert f"JAX_PROCESS_ID={pid}" in line
+        assert "JAX_NUM_PROCESSES=4" in line
+        assert "JAX_COORDINATOR_ADDRESS=" in line
+        assert "-m avt_tpu.train_net" in line

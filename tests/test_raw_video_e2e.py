@@ -83,6 +83,8 @@ def test_raw_video_train_eval(video_tree):
         "train.train_one_epoch_fn.save_freq_min=null",
         # tiny frame-level ViT via config passthrough
         "model/backbone=avt_b",
+        # ViT is already headless; reference expts set 0 (expts/01:11)
+        "model.backbone_last_n_modules_to_drop=0",
         "+model.backbone.img_size=32",
         "+model.backbone.patch_size=16",
         "+model.backbone.embed_dim=32",

@@ -251,3 +251,39 @@ def test_reduce_lr_on_plateau_matches_torch():
     np.testing.assert_allclose(
         np.asarray(updates["w"]), -min_lr * np.ones(3), rtol=1e-5
     )
+
+
+def test_plateau_counters_persist_through_checkpoint(tmp_path):
+    """The plateau tracker's best/bad-epoch counters ride the checkpoint's
+    host_state (the reference persists scheduler state, func/train.py:52-74)."""
+    import optax
+
+    from avt_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from avt_tpu.train.optim import ReduceLROnPlateau
+    from avt_tpu.train.step import TrainState
+
+    params = {"w": jnp.ones((2,))}
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx)
+    tracker = ReduceLROnPlateau(mode="max", patience=2)
+    for m in [10.0, 9.0, 8.0]:  # 2 bad epochs after the first best
+        state = tracker(state, m)
+    assert tracker.num_bad_epochs == 2 and tracker.best == 10.0
+
+    save_checkpoint(str(tmp_path), state, 3.0, host_state=tracker.state_dict())
+    fresh = ReduceLROnPlateau(mode="max", patience=2)
+    restored = restore_checkpoint(
+        str(tmp_path), state, host_template=fresh.state_dict()
+    )
+    assert restored is not None
+    _, epoch, host = restored
+    fresh.load_state_dict(host)
+    assert epoch == 3.0
+    assert fresh.num_bad_epochs == 2 and fresh.best == 10.0
+
+    # old-format checkpoints (no host payload) still restore
+    save_checkpoint(str(tmp_path / "old"), state, 1.0)
+    r2 = restore_checkpoint(
+        str(tmp_path / "old"), state, host_template=fresh.state_dict()
+    )
+    assert r2 is not None and r2[1] == 1.0

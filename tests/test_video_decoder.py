@@ -42,7 +42,7 @@ def test_read_range_exact_frames(video):
     assert reader.get_frame_rate(video) == pytest.approx(FPS, abs=0.1)
     # [1.0, 2.0] inclusive at 30 fps -> frames 30..60 (31 frames) with
     # exact presentation timestamps
-    handle = reader._handle(video)
+    handle = reader._pool.acquire(str(video))
     frames, pts = handle.read_range(1.0, 2.0)
     assert frames.shape[1:] == (H, W, 3)
     assert frames.shape[0] == 31
@@ -108,3 +108,22 @@ def test_dataset_end_to_end_with_native_decoder(video, tmp_path):
     assert vid.shape == (8, 48, 64, 3) and vid.dtype == np.uint8
     secs = item["video_frame_sec"]
     assert float(secs.max()) <= 2.51
+
+
+def test_handle_pool_concurrent_same_path(video):
+    """Threads reading clips from the SAME video must not share a decode
+    context (EK-style datasets have hundreds of clips per video); the pool
+    hands out independent handles and recycles them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    reader = LibavVideoReader()
+
+    def work(i):
+        frames, _ = reader(video, 0.5 + 0.1 * i, 1.5 + 0.1 * i, None, None)
+        return frames.shape[0]
+
+    with ThreadPoolExecutor(4) as ex:
+        counts = list(ex.map(work, range(8)))
+    assert all(c == 31 for c in counts), counts
+    # handles were recycled, not leaked: pool holds at most the burst size
+    assert 1 <= len(reader._pool._free[str(video)]) <= 8
