@@ -73,3 +73,75 @@ def test_shard_batch_axis_and_fallback():
     stacked = shard_batch({"stacked": batch["stacked"]}, mesh, batch_axis=1)
     spec = stacked["stacked"].sharding.spec
     assert len(spec) >= 2 and spec[0] is None and spec[1] == "data", spec
+
+
+def test_data_parallel_training_equals_single_device():
+    """The sharded train step IS the reference's DDP: training over a
+    'data'-sharded batch produces the same params as the same global batch
+    unsharded (XLA's psum = DDP's gradient all-reduce)."""
+    from avt_tpu.losses import mse
+    from avt_tpu.models import (
+        AVTh,
+        AVTModel,
+        IdentityAgg,
+        IdentityBackbone,
+        LinearClassifier,
+    )
+    from avt_tpu.train import TrainState, build_optimizer, make_train_step
+
+    n_cls, C, B, T = 5, 16, 16, 4
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=C),
+        future_predictor=AVTh(
+            in_features=C, inter_dim=32, n_layer=2, n_head=2, output_len=1,
+            avg_last_n=1, return_past_too=True,
+            future_pred_loss=lambda p, t: mse(p, t, reduction="none"),
+        ),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=C),
+        classifiers={"action": LinearClassifier(out_features=n_cls)},
+        num_classes=(("action", n_cls),),
+        backbone_dim=C,
+        dropout=0.0,  # dropout rng patterns differ under sharding layouts
+    )
+    batch = {
+        "video": jnp.asarray(
+            RNG.normal(size=(B, T, C, 1, 1, 1)).astype(np.float32)
+        ),
+        "target": {"action": jnp.asarray(RNG.integers(0, n_cls, size=(B,)))},
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["video"], (B,))
+    tx, _ = build_optimizer(
+        params, [["__all__", 0.05, 1e-4]],
+        optimizer_name="sgd", scheduler_name="cosine",
+        iters_per_epoch=10, num_epochs=2, warmup_epochs=0,
+        optimizer_kwargs={"nesterov": True},
+    )
+    step = make_train_step(
+        model, tx, loss_wts={"cls_action": 1.0, "feat": 1.0},
+        num_classes={"action": n_cls}, donate=False,
+    )
+
+    def train2(params, batch):
+        state = TrainState.create(params, tx)
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(7 + i))
+        return state.params, metrics
+
+    p_ref, m_ref = train2(params, batch)
+
+    mesh = make_mesh(8, 1)
+    p_sh, m_sh = train2(
+        shard_params(params, mesh), shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_sh),
+        jax.tree_util.tree_leaves_with_path(p_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=str(path),
+        )
