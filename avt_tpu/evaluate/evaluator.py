@@ -63,10 +63,14 @@ def evaluate(
             res = jax.device_get(res)
             batch_size = next(iter(batch["target"].values())).shape[0]
             if store:
+                # everything the eval step selected (logits OR feature
+                # endpoints) + unreduced losses, like the reference's
+                # all_logits (func/train.py:367-390)
                 to_store = {
-                    k: np.asarray(v)
+                    # scalars (e.g. mean aux losses) append as (1,) rows
+                    k: (np.asarray(v)[None] if np.ndim(v) == 0 else np.asarray(v))
                     for k, v in res.items()
-                    if k.startswith("logits/") or k.startswith("loss/")
+                    if not k.startswith("acc")
                 }
                 to_store["idx"] = np.asarray(batch["idx"])
                 to_store["uid"] = np.asarray(batch["uid"])

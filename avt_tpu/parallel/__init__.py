@@ -3,7 +3,6 @@ from avt_tpu.parallel.mesh import (
     setup_distributed,
     shard_batch,
     shard_params,
-    make_sharded_train_step,
 )
 
 __all__ = [
@@ -11,5 +10,4 @@ __all__ = [
     "setup_distributed",
     "shard_batch",
     "shard_params",
-    "make_sharded_train_step",
 ]

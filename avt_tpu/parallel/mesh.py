@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -164,15 +164,8 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     return jax.tree.map(place, batch)
 
 
-def make_sharded_train_step(step_fn: Callable, mesh: Mesh) -> Callable:
-    """Wrap an (unjitted) step under jit with mesh output constraints.
-
-    The step is written over the global batch; with sharded inputs, GSPMD
-    partitions it and inserts the data-axis gradient psum + model-axis
-    collectives automatically.
-    """
-    return jax.jit(
-        step_fn,
-        # state/metrics placement inferred from inputs; donate the state
-        donate_argnums=(0,),
-    )
+# NOTE: there is deliberately no "sharded step" wrapper: the step function
+# is written over the GLOBAL batch, so a plain jax.jit over sharded inputs
+# (shard_params/shard_batch above) is the whole distribution story — GSPMD
+# partitions the program and inserts the data-axis gradient psum and
+# model-axis collectives (see train_net.main).

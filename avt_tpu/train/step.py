@@ -280,9 +280,11 @@ def make_eval_step(
 ) -> Callable:
     """Build the jitted eval step.
 
-    Returns per-batch: {'logits/<task>', 'loss/<task>' (unreduced),
-    accuracies} — what the H5 result sink stores
-    (func/train.py:367-403).
+    Returns per-batch: every model output whose key starts with
+    store_endpoint (reference func/train.py:369-372 — 'logits' for normal
+    eval, or a feature endpoint like 'temp_agg'/'backbone_mean' for
+    feature extraction), unreduced 'loss/<task>', and accuracies — what the
+    H5 result sink stores (func/train.py:367-403).
     """
 
     def step_fn(params, batch) -> Dict[str, jax.Array]:
@@ -301,9 +303,10 @@ def make_eval_step(
             outputs, target, tsub,
             num_classes=num_classes, class_weights=class_weights,
         )
-        res: Dict[str, jax.Array] = {}
+        res: Dict[str, jax.Array] = {
+            k: v for k, v in outputs.items() if k.startswith(store_endpoint)
+        }
         for task in target:
-            res[f"logits/{task}"] = outputs[f"{store_endpoint}/{task}"]
             res[f"loss/cls_{task}"] = losses[f"cls_{task}"]
         for k, v in aux_losses.items():
             res[f"aux_loss/{k}"] = jnp.mean(v)

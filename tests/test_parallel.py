@@ -145,3 +145,78 @@ def test_data_parallel_training_equals_single_device():
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
             err_msg=str(path),
         )
+
+
+def test_tensor_parallel_training_equals_single_device():
+    """A (data=4, model=2) mesh — attention/MLP/classifier matmuls sharded
+    on 'model' — still trains identically to one device (the TP seam the
+    reference never had; mesh rules in parallel/mesh.py)."""
+    from avt_tpu.losses import mse
+    from avt_tpu.models import (
+        AVTh,
+        AVTModel,
+        IdentityAgg,
+        IdentityBackbone,
+        LinearClassifier,
+    )
+    from avt_tpu.train import TrainState, build_optimizer, make_train_step
+
+    n_cls, C, B, T = 8, 16, 8, 4
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=C),
+        future_predictor=AVTh(
+            in_features=C, inter_dim=32, n_layer=2, n_head=2, output_len=1,
+            avg_last_n=1, return_past_too=True,
+            future_pred_loss=lambda p, t: mse(p, t, reduction="none"),
+        ),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=C),
+        classifiers={"action": LinearClassifier(out_features=n_cls)},
+        num_classes=(("action", n_cls),),
+        backbone_dim=C,
+        dropout=0.0,
+    )
+    batch = {
+        "video": jnp.asarray(
+            RNG.normal(size=(B, T, C, 1, 1, 1)).astype(np.float32)
+        ),
+        "target": {"action": jnp.asarray(RNG.integers(0, n_cls, size=(B,)))},
+    }
+    params = model.init(jax.random.PRNGKey(1), batch["video"], (B,))
+    tx, _ = build_optimizer(
+        params, [["__all__", 0.05, 1e-4]],
+        optimizer_name="sgd", scheduler_name="cosine",
+        iters_per_epoch=10, num_epochs=2, warmup_epochs=0,
+    )
+    step = make_train_step(
+        model, tx, loss_wts={"cls_action": 1.0, "feat": 1.0},
+        num_classes={"action": n_cls}, donate=False,
+    )
+
+    def train2(params, batch):
+        state = TrainState.create(params, tx)
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+        return state.params, metrics
+
+    p_ref, m_ref = train2(params, batch)
+    mesh = make_mesh(4, 2)
+    sp = shard_params(params, mesh)
+    # the TP rules must actually shard something on 'model'
+    assert any(
+        "model" in str(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(sp)
+        if hasattr(leaf, "sharding")
+    ), "no parameter got a 'model' sharding"
+    p_sh, m_sh = train2(sp, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_sh),
+        jax.tree_util.tree_leaves_with_path(p_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=str(path),
+        )

@@ -326,3 +326,53 @@ def test_train_net_balance_classes_from_config(ek_tree, tmp_path, monkeypatch):
     assert "weights" in captured and captured["weights"].shape == (N_CLS,)
     assert (captured["weights"] > 0).any()
     assert sum(captured["counts"].values()) > 0
+
+
+def test_train_net_feature_extraction(ek_tree, tmp_path):
+    """Feature-extraction mode: only_run_featext + a feature store_endpoint
+    dumps per-rank H5s with the RAW endpoint keys (reference
+    func/train.py:367-390 stores every output matching store_endpoint)."""
+    import h5py
+
+    overrides = [
+        "test_only=true",
+        "eval.eval_fn.only_run_featext=true",
+        "eval.eval_fn.store_endpoint=temp_agg",
+        "train.batch_size=2",
+        "eval.batch_size=2",
+        f"model.backbone_dim={C}",
+        "model/backbone=identity",
+        "model/temporal_aggregator=mean",
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose("config", [parse_override(o) for o in overrides])
+    work_dir = str(tmp_path / "run_featext")
+    os.makedirs(work_dir)
+    main(cfg, work_dir)
+    h5_path = os.path.join(work_dir, "results", "0.h5")
+    assert os.path.exists(h5_path)
+    with h5py.File(h5_path, "r") as f:
+        keys = set(f.keys())
+        # raw endpoint keys, not remapped to logits/
+        assert "temp_agg" in keys, keys
+        assert "temp_agg_projected" not in keys or True
+        assert "uid" in keys and "idx" in keys
+        assert not any(k.startswith("target/") for k in keys), keys
+        feats = np.asarray(f["temp_agg"])
+        assert feats.shape[1] == C and feats.shape[0] >= 16
+        assert np.isfinite(feats).all()
