@@ -100,6 +100,39 @@ def train_one_epoch(
     # bucket counter so chunked dispatch preserves the reference's
     # "save every save_freq*iters steps" cadence (func/train.py:176-201)
     last_save_bucket = -1
+
+    # One-chunk-deep software pipeline: the metrics of chunk i are fetched
+    # only AFTER chunk i+1 has been dispatched, so the host's stacking +
+    # transfer of the next chunk overlaps the device computing the current
+    # one (JAX dispatch is async; the fetch is the only sync point). The
+    # NaN abort therefore fires one chunk late — same abort, one chunk of
+    # extra compute.
+    pending = None  # (per_step device metric trees, n_steps, bs, step_id0)
+    last_dispatch = time.time()
+
+    def drain(entry):
+        nonlocal last_dispatch
+        per_step, n_steps, batch_size, sid0 = entry
+        per_step = [jax.tree.map(np.asarray, m) for m in per_step]  # sync
+        dt = time.time() - last_dispatch
+        last_dispatch = time.time()
+        for m in per_step:
+            loss = float(m["loss"])
+            if math.isnan(loss):
+                raise ValueError("The loss is NaN!")
+            metric_logger.update(loss=loss)
+            for k, v in m.items():
+                if k.startswith("acc"):
+                    metric_logger.update(n=batch_size, **{k: float(v)})
+                elif k.startswith("loss/"):
+                    metric_logger.update(**{k: float(v)})
+        metric_logger["clips/s"].update(batch_size * n_steps / dt)
+        if (sid0 // K) % print_freq == 0:
+            for k, v in per_step[-1].items():
+                metric_logger.write_scalar(
+                    f"train_per_iter/{k}", float(v), sid0 + n_steps - 1
+                )
+
     for chunk in metric_logger.log_every(
         chunked(), print_freq, f"Epoch [{epoch}]", total=n_chunks
     ):
@@ -121,7 +154,6 @@ def train_one_epoch(
             last_saved_time = now
             last_save_bucket = bucket
 
-        t0 = time.time()
         jit_chunk = [_jit_batch(b) for b in chunk]
         # xprof-visible step annotation (jax.profiler trace server is
         # served by `avt_tpu.launch --profile`)
@@ -135,9 +167,8 @@ def train_one_epoch(
                 state, metrics = multi_step(
                     state, stacked, jax.random.fold_in(rng, step_id)
                 )
-                metrics = jax.tree.map(np.asarray, metrics)  # one fetch/chunk
                 per_step = [
-                    jax.tree.map(lambda m: m[j], metrics)
+                    jax.tree.map(lambda m, j=j: m[j], metrics)
                     for j in range(len(chunk))
                 ]
             else:  # tail (or K == 1): plain per-batch dispatch
@@ -148,26 +179,15 @@ def train_one_epoch(
                     state, m = train_step(
                         state, jb, jax.random.fold_in(rng, step_id + j)
                     )
-                    per_step.append(jax.tree.map(np.asarray, m))
-        dt = time.time() - t0
+                    per_step.append(m)
         batch_size = next(iter(chunk[0]["target"].values())).shape[0]
-        for m in per_step:
-            loss = float(m["loss"])
-            if math.isnan(loss):
-                raise ValueError("The loss is NaN!")
-            metric_logger.update(loss=loss)
-            for k, v in m.items():
-                if k.startswith("acc"):
-                    metric_logger.update(n=batch_size, **{k: float(v)})
-                elif k.startswith("loss/"):
-                    metric_logger.update(**{k: float(v)})
-        metric_logger["clips/s"].update(batch_size * len(chunk) / dt)
-        if (step_id // K) % print_freq == 0:
-            for k, v in per_step[-1].items():
-                metric_logger.write_scalar(
-                    f"train_per_iter/{k}", float(v), step_id + len(chunk) - 1
-                )
+        entry = (per_step, len(chunk), batch_size, step_id)
+        if pending is not None:
+            drain(pending)
+        pending = entry
         step_id += len(chunk)
+    if pending is not None:
+        drain(pending)
     metric_logger.dump_to_tb(epoch)
     return state, last_saved_time
 
