@@ -80,8 +80,11 @@ def _del_path(cfg: Dict, dotted: str):
     parts = dotted.split(".")
     node = cfg
     for p in parts[:-1]:
+        if not isinstance(node, dict) or p not in node:
+            return  # nothing to delete
         node = node[p]
-    node.pop(parts[-1], None)
+    if isinstance(node, dict):
+        node.pop(parts[-1], None)
 
 
 def _merge(dst: Dict, src: Dict):
@@ -113,8 +116,57 @@ class Composer:
         resolve: bool = True,
         extra_resolvers: Optional[Dict] = None,
     ) -> Dict:
+        """Hydra-semantics composition.
+
+        Group overrides SUBSTITUTE into the defaults list (the switched
+        option replaces the default option's whole contribution — no key
+        leakage from the default yaml; later defaults entries, e.g. child
+        groups, still land inside it in list order). `+group@key=option`
+        additions append new defaults entries. Plain key=value overrides
+        apply AFTER all groups, in their given order.
+        """
         cfg = load_yaml(self.conf_dir / f"{config_name}.yaml")
         defaults = cfg.pop("defaults", [])
+
+        switches: Dict[str, tuple] = {}   # target_key -> (group, option)
+        additions: List[tuple] = []       # (group, target_key, option)
+        value_ovs: List[Override] = []
+        for ov in overrides:
+            if isinstance(ov, str):
+                ov = parse_override(ov)
+            if ov.sweep_values is not None:
+                raise ValueError(
+                    f"Sweep override {ov.key} must be expanded before compose"
+                )
+            if ov.delete:
+                value_ovs.append(ov)
+            elif ov.group is not None:
+                # group@key=option: compose a group instance at `key`
+                entry = (ov.group, ov.key, str(ov.value))
+                if ov.add:
+                    additions.append(entry)
+                else:
+                    switches[ov.key] = (ov.group, str(ov.value))
+            elif (
+                "/" in ov.key
+                and isinstance(ov.value, str)
+                and not ov.value.startswith("$")
+            ):
+                # group switch: model/backbone=identity
+                switches[ov.key.replace("/", ".")] = (ov.key, str(ov.value))
+            elif (
+                isinstance(ov.value, str)
+                and not ov.value.startswith("$")
+                and not ov.add
+                and "." not in ov.key
+                and (self.conf_dir / ov.key).is_dir()
+            ):
+                # top-level group switch: train_eval_op=pred_future_feat
+                switches[ov.key] = (ov.key, str(ov.value))
+            else:
+                value_ovs.append(ov)
+
+        used = set()
         for entry in defaults:
             if isinstance(entry, str):
                 group, option = entry.rsplit("/", 1)
@@ -125,35 +177,27 @@ class Composer:
                     group, target_key = group_spec.split("@", 1)
                 else:
                     group, target_key = group_spec, group_spec.replace("/", ".")
+            if target_key in switches:
+                group, option = switches[target_key]
+                used.add(target_key)
             loaded = self._load_group(group, option)
             _set_path(cfg, target_key, loaded, add=True)
-        for ov in overrides:
-            if isinstance(ov, str):
-                ov = parse_override(ov)
-            if ov.sweep_values is not None:
-                raise ValueError(
-                    f"Sweep override {ov.key} must be expanded before compose"
-                )
+        # switches of groups absent from the defaults list, and additions:
+        # fresh nodes at their target (replace anything there)
+        for target_key, (group, option) in switches.items():
+            if target_key in used:
+                continue
+            loaded = self._load_group(group, option)
+            _del_path(cfg, target_key)
+            _set_path(cfg, target_key, loaded, add=True)
+        for group, target_key, option in additions:
+            loaded = self._load_group(group, option)
+            _del_path(cfg, target_key)
+            _set_path(cfg, target_key, loaded, add=True)
+
+        for ov in value_ovs:
             if ov.delete:
                 _del_path(cfg, ov.key)
-            elif ov.group is not None:
-                # group@key=option: compose a group instance at `key`
-                loaded = self._load_group(ov.group, str(ov.value))
-                _set_path(cfg, ov.key, loaded, add=True)
-            elif "/" in ov.key and isinstance(ov.value, str) and not ov.value.startswith("$"):
-                # group switch: model/backbone=identity
-                loaded = self._load_group(ov.key, str(ov.value))
-                _set_path(cfg, ov.key.replace("/", "."), loaded, add=True)
-            elif (
-                isinstance(ov.value, str)
-                and not ov.value.startswith("$")
-                and not ov.add
-                and "." not in ov.key
-                and (self.conf_dir / ov.key).is_dir()
-            ):
-                # top-level group switch: train_eval_op=pred_future_feat
-                loaded = self._load_group(ov.key, str(ov.value))
-                _set_path(cfg, ov.key, loaded, add=True)
             else:
                 _set_path(cfg, ov.key, ov.value, add=ov.add)
         if resolve:
