@@ -115,3 +115,92 @@ def test_person_subset(ek_files):
         label_type="action",
     )
     assert len(ds) == 0
+
+
+def test_egtea_dataset_and_action_classes(tmp_path):
+    """EGTEA (version=-1): RULSTM-style csv annotations + the EGTEA actions
+    list ('id,<verb>_<noun>,name' rows), no EPIC verb/noun csvs
+    (reference epic_kitchens.py:217-243; expt 11 topology)."""
+    from avt_tpu.data.epic_kitchens import (
+        EGTEA_VERSION,
+        EpicKitchens,
+        load_action_classes_egtea,
+    )
+    from avt_tpu.data.readers import NpyFeatsReader
+
+    annot = tmp_path / "annot"
+    annot.mkdir()
+    # EGTEA actions.csv: id,<verb>_<noun>,action-name (no header)
+    (annot / "actions.csv").write_text(
+        "0,0_0,take_bread\n1,0_1,take_knife\n2,1_0,cut_bread\n"
+    )
+    names, vn2a = load_action_classes_egtea(annot / "actions.csv")
+    assert names == {"take_bread": 0, "take_knife": 1, "cut_bread": 2}
+    assert vn2a[(1, 0)] == 2
+
+    FPS, C = 30.0, 8
+    rows = []
+    for uid in range(6):
+        start_f = 450 + uid * 300
+        rows.append(
+            f"{uid},OP01-R01-{uid:02d},{start_f},{start_f + 60},"
+            f"{uid % 2},{uid % 2},{uid % 3}"
+        )
+        np.save(
+            tmp_path / f"OP01-R01-{uid:02d}.npy",
+            np.zeros((3000, C), np.float32),
+        )
+    (annot / "training1.csv").write_text("\n".join(rows))
+
+    ds = EpicKitchens(
+        version=EGTEA_VERSION,
+        root=[str(tmp_path)],
+        annotation_path=[str(annot / "training1.csv")],
+        annotation_dir=str(annot),
+        label_type="action",
+        action_labels_fpath=str(annot / "actions.csv"),
+        reader=NpyFeatsReader(str(tmp_path), read_type="normal"),
+        frames_per_clip=4,
+        frame_rate=1.0,
+        sample_strategy="last_clip",
+        conv_to_anticipate_fn=lambda d: convert_to_anticipation(
+            d, tau_a=0.5, tau_o=2.5
+        ),
+    )
+    # no verb/noun vocab for EGTEA; primary metric falls back to top-1
+    assert ds.verb_classes == {} and ds.noun_classes == {}
+    assert len(ds.classes["action"]) == 3
+    assert ds.primary_metric == "final_acc/action/top1"
+    item = ds[0]
+    assert item["target"]["action"] == 0
+    assert item["video"].shape[0] >= 1
+    # verb/noun class mappings derive from the verb_noun ids in actions.csv
+    maps = ds.class_mappings
+    vmap = maps[("verb", "action")]  # (actions, verbs), reference key order
+    assert vmap.shape == (3, 2)
+    assert vmap[2, 1] == 1.0  # cut_bread -> verb 1
+
+
+def test_breakfast_bundle_name_mapping(tmp_path):
+    """Breakfast bundle entries map to person/camera paths, preferring the
+    stereo channel whose .labels file exists (reference
+    breakfast_50salads.py naming scheme)."""
+    from avt_tpu.data.breakfast_50salads import (
+        bundle_entry_to_video_fname_breakfast,
+    )
+
+    # plain camera
+    (tmp_path / "P03" / "cam01").mkdir(parents=True)
+    (tmp_path / "P03" / "cam01" / "P03_cereals.avi.labels").write_text("x")
+    v, a = bundle_entry_to_video_fname_breakfast(
+        "P03_cam01_P03_cereals.txt", str(tmp_path)
+    )
+    assert v == "P03/cam01/P03_cereals.avi"
+    assert a == "P03/cam01/P03_cereals.avi.labels"
+    # stereo: ch0 missing, ch1 present -> picks ch1
+    (tmp_path / "P04" / "stereo").mkdir(parents=True)
+    (tmp_path / "P04" / "stereo" / "P04_coffee_ch1.avi.labels").write_text("x")
+    v, a = bundle_entry_to_video_fname_breakfast(
+        "P04_stereo01_P04_coffee.txt", str(tmp_path)
+    )
+    assert v == "P04/stereo/P04_coffee_ch1.avi"
