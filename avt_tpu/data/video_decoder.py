@@ -137,31 +137,51 @@ class _HandlePool:
     call) and recycles contexts afterwards to amortize open/probe cost.
     """
 
-    def __init__(self, max_per_path: int = 32):
+    def __init__(self, max_per_path: int = 8, max_total: int = 64):
         self._free: Dict[str, list] = {}
         self._lock = threading.Lock()
         self._max = max_per_path
+        self._max_total = max_total
+        self._total = 0
 
     def acquire(self, path: str) -> _Handle:
         with self._lock:
-            free = self._free.setdefault(path, [])
+            free = self._free.get(path)
             if free:
+                self._total -= 1
                 return free.pop()
         return _Handle(path)
 
     def release(self, path: str, handle: _Handle) -> None:
+        """Return a HEALTHY handle for reuse (callers drop handles whose
+        read just raised — a failed decode can leave the context mid-stream).
+
+        An open AVFormatContext holds an fd + codec buffers, so the pool is
+        bounded per path AND globally; over the global cap the oldest idle
+        path's handles evict first (loaders sweep datasets video-by-video,
+        so stale paths stop being touched)."""
         with self._lock:
             free = self._free.setdefault(path, [])
-            if len(free) < self._max:
-                free.append(handle)
-                return
-        # over capacity: drop (closes via __del__)
+            if len(free) >= self._max:
+                return  # over per-path capacity: drop (closes via __del__)
+            free.append(handle)
+            self._total += 1
+            while self._total > self._max_total:
+                # evict from the least-recently-inserted other path
+                for other, lst in self._free.items():
+                    if lst and other != path:
+                        lst.pop(0)
+                        self._total -= 1
+                        break
+                else:
+                    free.pop(0)  # only this path has handles
+                    self._total -= 1
 
 
 class LibavVideoReader(Reader):
     """Raw-video reader over the native decoder (pooled handles)."""
 
-    def __init__(self, cache_handles: bool = True, max_pool_per_path: int = 32):
+    def __init__(self, cache_handles: bool = True, max_pool_per_path: int = 8):
         _load_lib()
         self.cache_handles = cache_handles
         self._pool = _HandlePool(max_pool_per_path if cache_handles else 0)
@@ -172,10 +192,9 @@ class LibavVideoReader(Reader):
             h = self._pool.acquire(key)
         except IOError:
             return 0.0  # empty-clip path downstream
-        try:
-            return h.fps
-        finally:
-            self._pool.release(key, h)
+        fps = h.fps
+        self._pool.release(key, h)
+        return fps
 
     def __call__(self, video_path, start_sec, end_sec, fps, row):
         key = str(video_path)
@@ -183,8 +202,11 @@ class LibavVideoReader(Reader):
             handle = self._pool.acquire(key)
         except IOError:
             return np.zeros((0, 1, 1, 3), dtype=np.uint8), {}
-        try:
-            frames, pts = handle.read_range(start_sec, end_sec)
-            return frames, {"video_fps": handle.fps}
-        finally:
-            self._pool.release(key, handle)
+        # only HEALTHY handles return to the pool: a raised read may leave
+        # the demux/codec state mid-stream, so the handle is dropped (its
+        # __del__ closes the context) and the error propagates to the
+        # loader's None-backfill path
+        frames, pts = handle.read_range(start_sec, end_sec)
+        out = frames, {"video_fps": handle.fps}
+        self._pool.release(key, handle)
+        return out

@@ -390,6 +390,10 @@ def plot_per_cls_perf(
         last[["cls_name", "acc"]], on="cls_name", how="outer",
         suffixes=["_first", "_last"],
     )
+    # classes measured under only one method have no defined gain; ranking
+    # them (the reference notebook's outer merge sorts their NaNs last,
+    # exactly where [-show_topn:] looks) would chart unmeasured classes
+    merged = merged.dropna(subset=["acc_first", "acc_last"])
     gains = (merged["acc_last"] - merged["acc_first"]).sort_values()
     gained = merged.loc[gains.index].cls_name.tolist()
     if show_subset is not None:

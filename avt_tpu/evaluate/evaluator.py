@@ -37,6 +37,7 @@ def evaluate(
     logger=None,
     rank: int = 0,
     place_batch: Optional[Callable] = None,
+    gather_results: Optional[Callable] = None,
 ) -> float:
     """Run evaluation over every loader; return the primary metric of the
     suffix-less ('') loader."""
@@ -60,7 +61,14 @@ def evaluate(
             if place_batch is not None:
                 jit_batch = place_batch(jit_batch, 0)
             res = eval_step(params, jit_batch)
-            res = jax.device_get(res)
+            # multi-host: per-sample outputs are sharded across hosts;
+            # gather_results pulls THIS host's rows (parallel/mesh.py:
+            # unshard_results). device_get would touch non-addressable
+            # devices there.
+            res = (
+                gather_results(res) if gather_results is not None
+                else jax.device_get(res)
+            )
             batch_size = next(iter(batch["target"].values())).shape[0]
             if store:
                 # everything the eval step selected (logits OR feature

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as pl_P
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
@@ -577,20 +578,103 @@ def packed_short_attention(qkv, num_heads, causal=False):
     qkv: (N, T, 3*H*D), the fused qkv Dense output (thirds = q, k, v).
     Returns (N, T, H*D). The whole sequence lives in one VMEM block, so this
     path is for T <= ~1k (ViT's 197); the generic flash_attention above
-    handles longer sequences.
+    handles longer sequences. Under a sharded jit the call partitions
+    batch-parallel (see the custom_partitioning rules below).
     """
-    return _short_attention_fwd_call(qkv, num_heads, causal, _interp())
+    return _partitioned_short_fwd(num_heads, causal, _interp())(qkv)
 
 
 def _short_fwd_rule(qkv, num_heads, causal):
     return (
-        _short_attention_fwd_call(qkv, num_heads, causal, _interp()),
+        _partitioned_short_fwd(num_heads, causal, _interp())(qkv),
         qkv,
     )
 
 
 def _short_bwd_rule(num_heads, causal, qkv, g):
-    return (_short_attention_bwd_call(qkv, g, num_heads, causal, _interp()),)
+    return (_partitioned_short_bwd(num_heads, causal, _interp())(qkv, g),)
 
 
 packed_short_attention.defvjp(_short_fwd_rule, _short_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning: a pallas_call is an opaque custom call, so under a
+# sharded jit XLA would otherwise replicate it (all-gathering the full
+# global batch into every device). These rules declare the kernels
+# batch-parallel: each device runs the kernel on its own batch shard, with
+# feature/sequence dims replicated (a 'model'-sharded qkv activation gets
+# all-gathered first — the same thing XLA does for any opaque op).
+# ---------------------------------------------------------------------------
+def _batch_component(arg_info):
+    spec = getattr(arg_info.sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_short_fwd(num_heads: int, causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    @custom_partitioning
+    def fwd(qkv):
+        return _short_attention_fwd_call(qkv, num_heads, causal, interpret)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, pl_P(_batch_component(arg_infos[0])))
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        arg_sh = (NamedSharding(mesh, pl_P(batch, None, None)),)
+        out_sh = NamedSharding(mesh, pl_P(batch, None, None))
+
+        def lower(qkv):
+            return _short_attention_fwd_call(qkv, num_heads, causal, interpret)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        # Shardy propagation rule: batch factor shared, everything else
+        # independent (the partition callback replicates non-batch dims)
+        sharding_rule="b t c -> b s d",
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_short_bwd(num_heads: int, causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    @custom_partitioning
+    def bwd(qkv, do):
+        return _short_attention_bwd_call(qkv, do, num_heads, causal, interpret)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, pl_P(_batch_component(arg_infos[0])))
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        arg_sh = (
+            NamedSharding(mesh, pl_P(batch, None, None)),
+            NamedSharding(mesh, pl_P(batch, None, None)),
+        )
+        out_sh = NamedSharding(mesh, pl_P(batch, None, None))
+
+        def lower(qkv, do):
+            return _short_attention_bwd_call(
+                qkv, do, num_heads, causal, interpret
+            )
+
+        return mesh, lower, out_sh, arg_sh
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b t c, b s d -> b u e",
+    )
+    return bwd

@@ -3,6 +3,7 @@ from avt_tpu.parallel.mesh import (
     setup_distributed,
     shard_batch,
     shard_params,
+    unshard_results,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "setup_distributed",
     "shard_batch",
     "shard_params",
+    "unshard_results",
 ]

@@ -158,10 +158,42 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     def place(leaf):
         leaf = np.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
         if leaf.ndim <= batch_axis or leaf.shape[batch_axis] % n_data != 0:
+            if jax.process_count() > 1:
+                # replication would claim every host holds the SAME values,
+                # but each host's loader yields a different shard -> the
+                # "global" array would silently disagree across hosts
+                raise ValueError(
+                    f"multi-host batch dim {leaf.shape} must divide the "
+                    f"per-process data-axis share ({n_data}); pad the "
+                    f"batch or make batch_size divisible"
+                )
             return _put_global(leaf, mesh, P())
         return _put_global(leaf, mesh, spec)
 
     return jax.tree.map(place, batch)
+
+
+def unshard_results(res, mesh: Mesh):
+    """Global per-sample result arrays -> THIS host's rows (numpy).
+
+    Single-process: plain device_get. Multi-host: per-sample outputs of a
+    'data'-sharded eval batch live sharded across hosts, where device_get
+    would touch non-addressable devices; the host-local slice is exactly
+    the rows of this process's loader shard, aligned with its local
+    idx/uid arrays.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(res)
+    from jax.experimental import multihost_utils
+
+    def pull(leaf):
+        if not isinstance(leaf, jax.Array) or leaf.ndim == 0:
+            return jax.device_get(leaf)
+        return multihost_utils.global_array_to_host_local_array(
+            leaf, mesh, P("data")
+        )
+
+    return jax.tree.map(pull, res)
 
 
 # NOTE: there is deliberately no "sharded step" wrapper: the step function

@@ -98,8 +98,14 @@ def train_one_epoch(
     n_chunks = -(-(batches_per_epoch - partial_iters) // K)
     step_id = epoch * batches_per_epoch + partial_iters
     # bucket counter so chunked dispatch preserves the reference's
-    # "save every save_freq*iters steps" cadence (func/train.py:176-201)
+    # "save every save_freq*iters steps" cadence (func/train.py:176-201);
+    # initialized so the first chunk saves ONLY on an exact boundary
+    # (reference: step_id % save_freq_steps == 0), not on every epoch start
     last_save_bucket = -1
+    if save_freq_steps:
+        last_save_bucket = step_id // save_freq_steps
+        if step_id % save_freq_steps == 0:
+            last_save_bucket -= 1
 
     # One-chunk-deep software pipeline: the metrics of chunk i are fetched
     # only AFTER chunk i+1 has been dispatched, so the host's stacking +
@@ -144,6 +150,11 @@ def train_one_epoch(
             (save_freq_steps and bucket > last_save_bucket)
             or (save_freq_min and mins_since >= save_freq_min)
         ):
+            # drain the in-flight chunk FIRST so its NaN abort fires before
+            # the (possibly NaN) state can overwrite the rolling checkpoint
+            if pending is not None:
+                drain(pending)
+                pending = None
             names = [CKPT_NAME]
             if save_intermediates:
                 names.append(f"{CKPT_NAME}_ep{cur_epoch:.8f}")

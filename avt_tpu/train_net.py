@@ -49,6 +49,7 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         setup_distributed,
         shard_batch,
         shard_params,
+        unshard_results,
     )
     from avt_tpu.train import TrainState, make_eval_step, make_train_step
     from avt_tpu.train.loop import run_training
@@ -87,8 +88,20 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     batch_size = cfg["train"]["batch_size"] * n_data // world_size
     eval_bs = (cfg["eval"].get("batch_size") or cfg["train"]["batch_size"])
     eval_bs = eval_bs * n_data // world_size
+    # SSL future clips: one key per future_<i>_start column the anticipation
+    # conversion produced (a fixed cap would silently drop extra futures)
+    dfs = [
+        getattr(d, "df", None)
+        for d in (train_datasets + list(eval_datasets.values()))
+    ]
+    n_futures = max(
+        [
+            len([c for c in df.columns if c.startswith("future_") and c.endswith("_start")])
+            for df in dfs if df is not None
+        ] or [0]
+    )
     keys = ["video", "target", "target_subclips", "idx", "uid"] + [
-        f"future_{i}_video" for i in range(8)  # SSL future clips, if any
+        f"future_{i}_video" for i in range(n_futures)
     ]
     train_loader = DataLoader(
         train_dataset,
@@ -244,6 +257,7 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
                 "only_run_featext", False),
             logger=logger, rank=jax.process_index(),
             place_batch=place_batch,
+            gather_results=lambda res: unshard_results(res, mesh),
         )
 
     if cfg.get("test_only"):

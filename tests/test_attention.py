@@ -131,3 +131,36 @@ def test_packed_attention_matches_split_path(N, T, H, D, causal):
         np.asarray(packed_attention(qkv, H, causal=causal)),
         np.asarray(out_ref), rtol=2e-4, atol=2e-4,
     )
+
+
+def test_packed_attention_partitions_over_mesh():
+    """Under a sharded jit the packed kernel partitions batch-parallel
+    (custom_partitioning rules): sharded inputs give the same outputs and
+    grads as unsharded, and the result stays sharded on 'data' instead of
+    being replicated around an opaque custom call."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avt_tpu.ops.flash_attention import packed_short_attention
+    from avt_tpu.parallel import make_mesh
+
+    N, T, H, D = 16, 64, 4, 32
+    C = H * D
+    qkv = jnp.asarray(RNG.normal(size=(N, T, 3 * C)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(packed_short_attention(x, H, False) ** 2)
+
+    f = jax.jit(jax.value_and_grad(loss))
+    l_ref, g_ref = f(qkv)
+
+    mesh = make_mesh(8, 1)
+    qkv_sh = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+    l_sh, g_sh = f(qkv_sh)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+    )
+    assert "data" in str(g_sh.sharding.spec), g_sh.sharding
+    # forward output sharding follows the batch dim too
+    out = jax.jit(lambda x: packed_short_attention(x, H, False))(qkv_sh)
+    assert "data" in str(out.sharding.spec), out.sharding
