@@ -184,6 +184,12 @@ def _pick_group(
 
     n_resident: how many full-seq-length tensors the kernel keeps per row
     (fwd: K, V + double-buffered q/o blocks; bwd dkv: q, do, k, v, ...).
+
+    G is also the SUBLANE dim of the 2D lse/delta blocks (G, block_q), so
+    Mosaic requires G % 8 == 0 or G == n_rows; among the divisors of n_rows
+    satisfying that, pick the largest within (a slight overshoot of) the
+    VMEM budget — overshooting beats an illegal tiling, real VMEM is ~16MB
+    vs the 6MB budget.
     """
     # the last dim pads to 128 lanes and the pipeline double-buffers blocks
     lanes = max(head_dim, 128)
@@ -191,10 +197,13 @@ def _pick_group(
         (n_resident * tk_pad + 2 * DEFAULT_BLOCK_Q) * lanes * max(itemsize, 2) * 2
     )
     budget = 6 * 1024 * 1024  # stay well under the ~16MB VMEM
-    g = max(1, min(n_rows, budget // max(per_row, 1)))
-    while n_rows % g != 0:  # grid must divide evenly
-        g -= 1
-    return g
+    target = max(1, budget // max(per_row, 1))
+    valid = [
+        g for g in range(1, n_rows + 1)
+        if n_rows % g == 0 and (g % 8 == 0 or g == n_rows)
+    ]
+    under = [g for g in valid if g <= max(target, 8)]
+    return max(under) if under else min(valid)
 
 
 def _to_bh(x, t_pad, t):
@@ -263,7 +272,9 @@ def _flash_attention_fwd(
     )(qp, kp, vp)
     out = _from_bh(res[0], B, H, Tq)
     if want_lse:
-        return out, res[1]  # lse stays (B*H, Tq_pad) for the bwd kernels
+        # batch-major (B, H, Tq_pad): the leading dim is the batch, so the
+        # GSPMD partitioning rules below can shard it with q's batch
+        return out, res[1].reshape(B, H, tq_pad)
     return out
 
 
@@ -294,7 +305,7 @@ def flash_attention(
 def _flash_attention_bwd(
     q, k, v, do, lse, delta, *, causal, block_q, block_k, interpret
 ):
-    """dq/dk/dv via the recompute kernels; lse/delta are (B*H, Tq_pad)."""
+    """dq/dk/dv via the recompute kernels; lse/delta are (B, H, Tq_pad)."""
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     sm_scale = 1.0 / math.sqrt(D)
@@ -304,6 +315,8 @@ def _flash_attention_bwd(
     kp = _to_bh(k, tk_pad, Tk)
     vp = _to_bh(v, tk_pad, Tk)
     dop = _to_bh(do, tq_pad, Tq)
+    lse = lse.reshape(B * H, tq_pad)
+    delta = delta.reshape(B * H, tq_pad)
 
     blk = lambda shape, idx: pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)  # noqa: E731
     bh = B * H
@@ -385,29 +398,24 @@ def _interp() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_vjp(q, k, v, causal=False):
-    return flash_attention(q, k, v, causal=causal, interpret=_interp())
+    return _partitioned_flash_fwd(causal, _interp())(q, k, v)[0]
 
 
 def _fa_fwd(q, k, v, causal):
-    out, lse = _flash_attention_fwd(
-        q, k, v, causal=causal, block_q=DEFAULT_BLOCK_Q,
-        block_k=DEFAULT_BLOCK_K, interpret=_interp(), want_lse=True,
-    )
+    out, lse = _partitioned_flash_fwd(causal, _interp())(q, k, v)
     return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(causal, residuals, g):
     q, k, v, out, lse = residuals
     B, Tq, H, _ = q.shape
-    tq_pad = lse.shape[1]
-    # delta = rowsum(dO * O), reshaped to the kernels' (B*H, Tq_pad) layout
+    tq_pad = lse.shape[-1]
+    # delta = rowsum(dO * O) in the kernels' batch-major (B, H, Tq_pad)
+    # layout (plain jnp: GSPMD shards it natively alongside the kernel)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.pad(delta, ((0, 0), (0, tq_pad - Tq), (0, 0)))
-    delta = delta.transpose(0, 2, 1).reshape(B * H, tq_pad)
-    return _flash_attention_bwd(
-        q, k, v, g, lse, delta, causal=causal, block_q=DEFAULT_BLOCK_Q,
-        block_k=DEFAULT_BLOCK_K, interpret=_interp(),
-    )
+    delta = delta.transpose(0, 2, 1)
+    return _partitioned_flash_bwd(causal, _interp())(q, k, v, g, lse, delta)
 
 
 flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)
@@ -676,5 +684,94 @@ def _partitioned_short_bwd(num_heads: int, causal: bool, interpret: bool):
         infer_sharding_from_operands=infer,
         partition=partition,
         sharding_rule="b t c, b s d -> b u e",
+    )
+    return bwd
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_flash_fwd(causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    @custom_partitioning
+    def fwd(q, k, v):
+        return _flash_attention_fwd(
+            q, k, v, causal=causal, block_q=DEFAULT_BLOCK_Q,
+            block_k=DEFAULT_BLOCK_K, interpret=interpret, want_lse=True,
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        return (
+            NamedSharding(mesh, pl_P(batch, None, None, None)),
+            NamedSharding(mesh, pl_P(batch, None, None)),
+        )
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        qkv_sh = NamedSharding(mesh, pl_P(batch, None, None, None))
+        out_sh = (
+            qkv_sh,
+            NamedSharding(mesh, pl_P(batch, None, None)),
+        )
+
+        def lower(q, k, v):
+            return _flash_attention_fwd(
+                q, k, v, causal=causal, block_q=DEFAULT_BLOCK_Q,
+                block_k=DEFAULT_BLOCK_K, interpret=interpret, want_lse=True,
+            )
+
+        return mesh, lower, out_sh, (qkv_sh, qkv_sh, qkv_sh)
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        # shared factors tie q's and out's dims; lse is (b, h, tq)
+        sharding_rule="b q h d, b k h d, b k h d -> b q h d, b h q",
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_flash_bwd(causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    @custom_partitioning
+    def bwd(q, k, v, do, lse, delta):
+        return _flash_attention_bwd(
+            q, k, v, do, lse, delta, causal=causal,
+            block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+            interpret=interpret,
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        sh4 = NamedSharding(mesh, pl_P(batch, None, None, None))
+        return (sh4, sh4, sh4)
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        sh4 = NamedSharding(mesh, pl_P(batch, None, None, None))
+        sh3 = NamedSharding(mesh, pl_P(batch, None, None))
+
+        def lower(q, k, v, do, lse, delta):
+            return _flash_attention_bwd(
+                q, k, v, do, lse, delta, causal=causal,
+                block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                interpret=interpret,
+            )
+
+        return (
+            mesh, lower, (sh4, sh4, sh4), (sh4, sh4, sh4, sh4, sh3, sh3)
+        )
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b q h d, b k h d, b k h d, b q h d, b h q, b h q "
+            "-> b q h d, b k h d, b k h d"
+        ),
     )
     return bwd

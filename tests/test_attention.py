@@ -164,3 +164,33 @@ def test_packed_attention_partitions_over_mesh():
     # forward output sharding follows the batch dim too
     out = jax.jit(lambda x: packed_short_attention(x, H, False))(qkv_sh)
     assert "data" in str(out.sharding.spec), out.sharding
+
+
+def test_flash_attention_partitions_over_mesh():
+    """The generic flash kernel also partitions batch-parallel under a
+    sharded jit (custom_partitioning rules with batch-major lse)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avt_tpu.ops.flash_attention import flash_attention_vjp
+    from avt_tpu.parallel import make_mesh
+
+    B, T, H, D = 16, 197, 2, 32
+    q, k, v = _qkv(B, T, H, D)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_vjp(q, k, v, False) ** 2)
+
+    f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    l_ref, g_ref = f(q, k, v)
+
+    mesh = make_mesh(8, 1)
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    l_sh, g_sh = f(qs, ks, vs)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    for a, b, name in zip(g_sh, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name}",
+        )
+        assert "data" in str(a.sharding.spec), (name, a.sharding)

@@ -204,3 +204,65 @@ def test_breakfast_bundle_name_mapping(tmp_path):
         "P04_stereo01_P04_coffee.txt", str(tmp_path)
     )
     assert v == "P04/stereo/P04_coffee_ch1.avi"
+
+
+def test_ek55_pkl_annotations_and_person_subset(tmp_path):
+    """EK55 (version=0.1) original pkl annotations: HH:MM:SS.f timestamps
+    parse to seconds, noun/verb phrases normalize ('pan:frying' ->
+    'frying pan', 'take-out' -> 'take out'), and the train-minus-val
+    person-range subset keeps P01..P22 (reference epic_kitchens.py:340-391)."""
+    import pickle
+
+    from avt_tpu.data.epic_kitchens import EPIC55_VERSION, EpicKitchens
+    from avt_tpu.data.readers import NpyFeatsReader
+
+    annot = tmp_path / "annot"
+    annot.mkdir()
+    (annot / "EPIC_verb_classes.csv").write_text(
+        "verb_id,class_key\n0,take\n1,put\n"
+    )
+    (annot / "EPIC_noun_classes.csv").write_text(
+        "noun_id,class_key\n0,pan\n1,bread\n"
+    )
+    df = pd.DataFrame(
+        {
+            "uid": [1, 2, 3],
+            "participant_id": ["P01", "P23", "P02"],
+            "video_id": ["P01_01", "P23_02", "P02_05"],
+            "start_timestamp": ["00:00:30.50", "00:01:00.00", "01:00:01.25"],
+            "stop_timestamp": ["00:00:32.00", "00:01:02.00", "01:00:03.00"],
+            "verb": ["take-out", "put", "take"],
+            "noun": ["pan:frying", "bread", "pan"],
+            "verb_class": [0, 1, 0],
+            "noun_class": [0, 1, 0],
+        }
+    ).set_index("uid")
+    with open(annot / "EPIC_train_action_labels.pkl", "wb") as f:
+        pickle.dump(df, f)
+    for vid in ("P01/P01_01.MP4", "P02/P02_05.MP4"):
+        np.save(tmp_path / (vid.replace("/", "_") + ".npy"), np.zeros((1, 4)))
+
+    ds = EpicKitchens(
+        version=EPIC55_VERSION,
+        root=[str(tmp_path)],
+        annotation_path=[str(annot / "EPIC_train_action_labels.pkl")],
+        annotation_dir=str(annot),
+        label_type="verb",
+        only_keep_persons="1-22",  # EK55 train-minus-val convention
+        reader=NpyFeatsReader(str(tmp_path), read_type="normal"),
+        frames_per_clip=4,
+        frame_rate=1.0,
+        sample_strategy="last_clip",
+        conv_to_anticipate_fn=None,
+    )
+    d = ds.df
+    assert len(d) == 2  # P23 dropped by the person subset
+    assert d["start"].tolist() == pytest.approx([30.5, 3601.25])
+    assert d["end"].tolist() == pytest.approx([32.0, 3603.0])
+    assert d["noun"].tolist() == ["frying pan", "pan"]
+    assert d["verb"].tolist() == ["take out", "take"]
+    assert str(d["video_path"].iloc[0]) == "P01/P01_01.MP4"
+    # verb x noun cross-product action vocab (no actions.csv given);
+    # ds.classes itself is keyed by label_type ('verb' here)
+    assert len(ds.action_classes) == 4
+    assert list(ds.classes) == ["verb"]
