@@ -86,6 +86,10 @@ def read_orig_50salads_annotations(
                     continue  # coarse-grained label
                 label = action_classes[act_pre]
                 start = frame_ts.index(int(start_ts)) / frame_rate
+                # index(end_ts + 1) looks up the timestamp VALUE end+1
+                # — replicated verbatim from the reference
+                # (breakfast_50salads.py:72); it presumes consecutive
+                # annotation timestamps, as the original data has
                 end = frame_ts.index(int(end_ts) + 1) / frame_rate
                 all_segments.append((video, video_fname, start, end, label))
     return all_segments

@@ -20,6 +20,7 @@ TPU-native deltas:
 """
 from __future__ import annotations
 
+import logging
 from collections import OrderedDict
 from pathlib import Path
 from typing import Callable, Dict, Optional, Sequence, Union
@@ -28,6 +29,8 @@ import numpy as np
 import pandas as pd
 
 from avt_tpu.data.anticipation import FUTURE_PREFIX, get_abs_path
+
+LOG = logging.getLogger(__name__)
 from avt_tpu.data.sampling import (
     SAMPLE_STRAT_FIRST,
     SAMPLE_STRAT_RAND,
@@ -148,7 +151,16 @@ class VideoDataset:
         # of a video, even ones subset out of this split view.
         self.df_before_subset = self.df
         if uid_subset is not None:
+            # get_indexer maps missing uids to -1 (iloc[-1] would silently
+            # substitute the LAST row) — drop them loudly instead
             idxs = pd.Index(self.df.uid).get_indexer(uid_subset)
+            if (idxs < 0).any():
+                missing = [u for u, i in zip(uid_subset, idxs) if i < 0]
+                LOG.warning(
+                    "uid_subset: %d uids not in the dataset (e.g. %s); "
+                    "skipping them", len(missing), missing[:5],
+                )
+                idxs = idxs[idxs >= 0]
             self.df = self.df.iloc[idxs].reset_index(drop=True)
 
     # ------------------------------------------------------------- stats
@@ -272,7 +284,13 @@ class VideoDataset:
         video, info = self.reader(video_path, new_start, new_end, eff_fps, row)
         n_read = video.shape[0] if video.ndim == 4 else 0
         if video.ndim != 4 or video.size == 0:
-            # Corrupt/empty: black frames, seconds = -1 (reference :598-605)
+            if self.transform is None:
+                # raw-video/feature paths keep static batch shapes; a
+                # (T,100,100,3) stand-in would break collate, so the item
+                # is dropped and the loader backfills
+                return None, None, info
+            # Corrupt/empty: black frames, seconds = -1 (reference
+            # :598-605; its transform stack resizes them to crop size)
             video = np.zeros((self.frames_per_clip, 100, 100, 3), dtype=np.uint8)
             secs = -np.ones((self.frames_per_clip,), dtype=np.float64)
             return video, secs, info
@@ -283,10 +301,23 @@ class VideoDataset:
         return video[idx], secs, info
 
     def _get_subclips(self, video: np.ndarray, num_frames: int, stride: int):
-        """(C, T, *) -> (#clips, C, num_frames, *)."""
+        """(C, T, *) -> (#clips, C, num_frames, *).
+
+        Same tiling as the device-side fold (transforms.fold_subclips):
+        only FULL windows, and (T - num_frames) must tile by the stride —
+        a ragged tail window would np.stack into a shape error anyway.
+        """
         total = video.shape[1]
+        if (total - num_frames) % stride != 0 or total < num_frames:
+            raise ValueError(
+                f"subclips (num_frames={num_frames}, stride={stride}) must "
+                f"tile T={total} exactly"
+            )
         return np.stack(
-            [video[:, i : i + num_frames] for i in range(0, total, stride)]
+            [
+                video[:, i : i + num_frames]
+                for i in range(0, total - num_frames + 1, stride)
+            ]
         )
 
     # ----------------------------------------------------------- getitem
@@ -303,6 +334,13 @@ class VideoDataset:
         counts = OrderedDict(self.classes_counts[self.label_type[0]])
         if counts.get(-1, 0) == 0:
             counts.pop(-1, None)
+        # vocabulary classes absent from this split contribute no rows;
+        # keeping them would make rng.integers(low, low) raise
+        counts = OrderedDict(
+            (k, v) for k, v in counts.items() if v > 0
+        )
+        if len(self.df) < 2 or not counts:
+            return idx
         cls_counts = [counts[i] for i in sorted(counts.keys())]
         cls_cumsum = np.cumsum(cls_counts).tolist()
         cls_first = [0] + cls_cumsum[:-1]
@@ -329,6 +367,8 @@ class VideoDataset:
         video, secs, info = self._read_clip(
             row, row["start"], row["end"], self.sample_strategy
         )
+        if video is None:
+            return None  # unreadable clip on a static-shape path
         video = self._apply_vid_transform(video)
         out = {"start": row["start"], "end": row["end"]}
         if self.return_future_clips_too:

@@ -277,7 +277,11 @@ class EpicKitchens(VideoDataset):
         df.reset_index(drop=False, inplace=True)
         df["start"] = df["start_timestamp"].apply(_timestr_to_sec)
         df["end"] = df["stop_timestamp"].apply(_timestr_to_sec)
-        # normalize the reversed "noun:of phrase" and dashed-verb formats
+        # normalize the reversed "noun:of phrase" and dashed-verb formats.
+        # NOTE the token reversal is the reference's verbatim idiom
+        # (epic_kitchens.py:363-365): "liquid:washing up" -> "up washing
+        # liquid", NOT "washing up liquid" — kept for bit-parity of any
+        # name-keyed artifact
         if "noun" in df.columns:
             df["noun"] = df["noun"].apply(
                 lambda s: " ".join(s.replace(":", " ").split(" ")[::-1])

@@ -13,11 +13,14 @@ func/train.py:604-658) with a thread-pooled host loader:
 """
 from __future__ import annotations
 
+import logging
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+LOG = logging.getLogger(__name__)
 
 
 def collate(items) -> Dict:
@@ -90,7 +93,11 @@ class DataLoader:
         return int(np.ceil(n / self.batch_size))
 
     def _fetch(self, i: int):
-        item = self.dataset[int(i)]
+        try:
+            item = self.dataset[int(i)]
+        except Exception:  # corrupt video/missing feature -> backfill
+            LOG.warning("dataset[%d] raised; backfilling", i, exc_info=True)
+            return None
         if item is None:
             return None
         if self.keys is not None:

@@ -219,6 +219,10 @@ class VideoAsLabelOnehotReader(Reader):
         self.num_classes = num_classes
 
     def get_frame_rate(self, video_path) -> float:
+        # the reference raises too (reader_fns.py:36-37, "Not sure what it
+        # is here... TODO") and its dataset calls get_frame_rate
+        # unconditionally — the oracle path is exercised only with configs
+        # that sidestep fps resampling; replicated as-is
         raise NotImplementedError("Undefined for one-hot oracle reader")
 
     def __call__(self, video_path, start_sec, end_sec, fps, row):

@@ -119,4 +119,17 @@ def evaluate(
     if only_run_featext:
         return 0.0
     main = data_loaders[""]
-    return final_accuracies[""][main.dataset.primary_metric]
+    accs = final_accuracies[""]
+    pm = main.dataset.primary_metric
+    if pm not in accs:
+        # store=False keeps only the online meters (the final metrics are
+        # recomputed FROM the stored files); fall back to a top-1 meter
+        # instead of discarding the whole evaluation with a KeyError
+        fallback = next((k for k in sorted(accs) if k.startswith("acc1")), None)
+        if logger is not None:
+            logger.warning(
+                "primary metric %s needs store=true; returning %s", pm,
+                fallback or "0.0",
+            )
+        return float(accs[fallback]) if fallback else 0.0
+    return accs[pm]

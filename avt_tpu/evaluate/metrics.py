@@ -42,11 +42,14 @@ def topk_recall(
     labels: np.ndarray,
     k: int = 5,
     classes: Optional[Sequence[int]] = None,
-) -> float:
+    return_per_class: bool = False,
+):
     """Class-mean recall@k in [0, 1] (RULSTM convention).
 
     Mean over classes that occur in `labels` (intersected with `classes`
     if given) of the per-class fraction whose label lands in the top-k.
+    return_per_class additionally returns {cls_id: recall} (the RULSTM
+    topk_recall per-class mode the reference's notebooks consume).
     Raises ZeroDivisionError when no requested class occurs — the caller
     maps that to NaN, like the reference.
     """
@@ -58,11 +61,17 @@ def topk_recall(
     k = min(k, scores.shape[-1])
     top_k = np.argpartition(scores, -k, axis=-1)[:, -k:]
     hit = np.any(labels[:, None] == top_k, axis=-1)
+    per_class = {}
     recalls = 0.0
     for c in cls_list:
         sel = labels == c
-        recalls += float(np.mean(hit[sel]))
-    return recalls / len(cls_list)  # ZeroDivisionError if empty, on purpose
+        r = float(np.mean(hit[sel]))
+        per_class[int(c)] = r
+        recalls += r
+    mean = recalls / len(cls_list)  # ZeroDivisionError if empty, on purpose
+    if return_per_class:
+        return mean, per_class
+    return mean
 
 
 def compute_conf_mat(predictions: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -103,8 +112,12 @@ def compute_accuracy(
     top_1 = compute_topk(predictions, labels, 1, classes=classes_to_keep)
     top_5 = compute_topk(predictions, labels, 5, classes=classes_to_keep)
     try:
-        ar5 = topk_recall(predictions, labels, k=5, classes=classes_to_keep)
-        ar5_per_cls = {c: float("nan") for c in classes_to_keep}
+        ar5, per_cls = topk_recall(
+            predictions, labels, k=5, classes=classes_to_keep,
+            return_per_class=True,
+        )
+        # reference scales per-class values to % (notebooks/utils.py:344)
+        ar5_per_cls = {c: v * 100.0 for c, v in per_cls.items()}
     except ZeroDivisionError:
         ar5 = float("nan")
         ar5_per_cls = {c: float("nan") for c in classes_to_keep}

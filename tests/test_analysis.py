@@ -173,3 +173,20 @@ def test_plot_per_cls_perf(tmp_path):
         show_topn=2, show_subset=lambda n: n != "take",
     )
     assert "take" not in gained2
+
+
+def test_compute_accuracy_per_class_recall_values():
+    """Per-class AR5 carries REAL per-class recalls (RULSTM per-class mode,
+    reference notebooks/utils.py:343-344), not NaN placeholders."""
+    from avt_tpu.evaluate.metrics import compute_accuracy
+
+    # class 0: always ranked top-1; class 1: never in the top-5 of 6
+    n, C = 8, 6
+    preds = np.zeros((n, C), np.float32)
+    labels = np.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    preds[:4, 0] = 10.0  # class-0 rows: correct
+    preds[4:, :] = np.asarray([5, 0, 4, 3, 2, 1])  # class-1 rows: 1 ranked last
+    _, _, ar5, _, per_cls = compute_accuracy(preds, labels)
+    assert per_cls[0] == pytest.approx(100.0)
+    assert per_cls[1] == pytest.approx(0.0)
+    assert ar5 == pytest.approx(50.0)

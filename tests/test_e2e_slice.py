@@ -209,3 +209,28 @@ def test_collate_static_shapes(synth):
     assert batch["video"].shape == (4, 10, C, 1, 1, 1)
     assert batch["target"]["action"].shape == (4,)
     assert batch["target_subclips"]["action"].shape == (4, 10, 1)
+
+
+def test_loader_backfills_raising_items():
+    """A dataset item that RAISES (corrupt video, missing feature) is
+    backfilled like a None item — one bad sample must not kill the epoch."""
+    from avt_tpu.data.loader import DataLoader
+
+    class Flaky:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("corrupt video")
+            if i == 7:
+                return None
+            return {"x": np.full((2,), i, np.float32)}
+
+    loader = DataLoader(Flaky(), 4, shuffle=False, drop_last=True,
+                        num_workers=2, keys=["x"])
+    batches = list(loader)
+    assert len(batches) == 3
+    seen = np.concatenate([b["x"][:, 0] for b in batches])
+    assert len(seen) == 12
+    assert 5.0 not in seen and 7.0 not in seen  # both replaced
