@@ -55,6 +55,11 @@ def mil_cross_entropy(
     else:
         raise NotImplementedError(f"Unknown mil_type {mil_type!r}")
     loss = denominator - numerator
+    if mil_type == "max":
+        # reference quirk kept: MILCrossEntropyLoss.forward_max returns
+        # torch.mean(...) UNCONDITIONALLY, ignoring the configured
+        # reduction (loss_fn/simclr_infonce.py:44-55)
+        return jnp.mean(loss)
     if reduction == "mean":
         return jnp.mean(loss)
     if reduction == "none":

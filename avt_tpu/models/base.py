@@ -145,6 +145,15 @@ class AVTModel(nn.Module):
             )
         feats = jnp.transpose(feats, (0, 2, 1))  # (B', T', C')
         if feats.shape[-1] != self._inter_dim:
+            if self.backbone_dim == self._inter_dim:
+                # setup only builds the mapper when the CONFIGURED dims
+                # differ; reaching here means backbone_dim was set wrong
+                # (reference asserts the same, base_model.py:170-173)
+                raise ValueError(
+                    f"Backbone produced {feats.shape[-1]}-d features but "
+                    f"model.backbone_dim={self.backbone_dim}; set "
+                    f"model.backbone_dim to the real feature dim"
+                )
             feats = self.mapper_to_inter(feats)
         feats_agg, agg_losses = self.temporal_aggregator(feats, train=train)
         aux_losses.update(agg_losses)

@@ -70,8 +70,9 @@ class _Inception(nn.Module):
             _ConvBN(self.cd3, (3, 3), stride, name="bd3b")(bd, train=train)
         )
         if stride == 2:
+            # pad=0 + ceil_mode like pretrainedmodels (see stem pools)
             bp = nn.max_pool(x, (3, 3), strides=(2, 2),
-                             padding=((1, 1), (1, 1)))
+                             padding=((0, 1), (0, 1)))
         else:
             if self.pool_type == "avg":
                 bp = nn.avg_pool(x, (3, 3), strides=(1, 1),
@@ -111,10 +112,13 @@ class BNInceptionVideo(nn.Module):
         x = video.transpose(0, 2, 3, 4, 1).reshape(B * T, H, W, C)
         kw = dict(bn_eps=self.bn_eps, bn_mom=self.bn_mom)
         x = _ConvBN(64, (7, 7), 2, name="conv1", **kw)(x, train=train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # pretrainedmodels' stride-2 pools are pad=0 + ceil_mode=True:
+        # windows start at 0,2,... with the tail window clipped — identical
+        # to right/bottom-only padding (max_pool pads with -inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
         x = _ConvBN(64, (1, 1), name="conv2r", **kw)(x, train=train)
         x = _ConvBN(192, (3, 3), name="conv2", **kw)(x, train=train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
         for name, cfg in _BLOCKS:
             c1, c3r, c3, cd3r, cd3, cpool, ptype = cfg
             x = _Inception(

@@ -106,6 +106,13 @@ class AVTh(nn.Module):
 
     def setup(self):
         self.quantized_input = self.in_features == 1 or self.centroids is not None
+        self.assigner = None
+        if self.centroids is not None:
+            from avt_tpu.models.cluster import KmeansAssigner
+
+            # ONE assigner: the (K, C) centroid table is a trace constant,
+            # constructing it per use would embed it twice per jit
+            self.assigner = KmeansAssigner(self.centroids)
         if self.quantized_input:
             self.encoder = nn.Embed(
                 self.num_cluster_centers, self.inter_dim, name="encoder_embed"
@@ -164,11 +171,8 @@ class AVTh(nn.Module):
             )
 
         full_inp_feats = feats
-        if self.centroids is not None:
-            from avt_tpu.models.cluster import KmeansAssigner
-
-            assigner = KmeansAssigner(self.centroids)
-            feats = assigner.feat2cluster(feats)[..., None]
+        if self.assigner is not None:
+            feats = self.assigner.feat2cluster(feats)[..., None]
         if self.quantized_input:
             assert feats.shape[-1] == 1
             feats = feats[..., 0].astype(jnp.int32)
@@ -209,13 +213,10 @@ class AVTh(nn.Module):
         if self.in_features == 1:
             prev = orig_feats_encoded
             all_outputs = hidden  # hidden states are the best features here
-        elif self.centroids is not None:
-            from avt_tpu.models.cluster import KmeansAssigner
-
-            assigner = KmeansAssigner(self.centroids)
+        elif self.assigner is not None:
             prev = inp_feats
             # predictions use original kmeans centroid features
-            all_outputs = assigner.cluster2feat(jnp.argmax(decoded, axis=-1))
+            all_outputs = self.assigner.cluster2feat(jnp.argmax(decoded, axis=-1))
         else:
             prev = inp_feats
             all_outputs = decoded

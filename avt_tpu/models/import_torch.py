@@ -142,11 +142,17 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
     if gpt_sd:
         p.setdefault("future_predictor", {})["gpt"] = gpt2_to_flax(gpt_sd)
     if "future_predictor.encoder.weight" in sd:
-        enc = sd["future_predictor.encoder.weight"]
-        if enc.ndim == 2 and "future_predictor.decoder.weight" in sd:
-            _set(p, "future_predictor/encoder/kernel", _t(enc))
-            _set(p, "future_predictor/decoder/kernel",
-                 _t(sd["future_predictor.decoder.weight"]))
+        enc = np.asarray(sd["future_predictor.encoder.weight"])
+        dec = sd.get("future_predictor.decoder.weight")
+        if enc.ndim == 2 and dec is not None:
+            dec = np.asarray(dec)
+            if enc.shape == dec.shape and np.array_equal(enc, dec):
+                # tied weights => nn.Embedding mode (quantized inputs,
+                # future_prediction.py:83-87): flax side is encoder_embed
+                _set(p, "future_predictor/encoder_embed/embedding", enc)
+            else:
+                _set(p, "future_predictor/encoder/kernel", _t(enc))
+                _set(p, "future_predictor/decoder/kernel", _t(dec))
     for key, val in sd.items():
         m = re.match(r"classifiers\.([^.]+)\.(weight|bias)", key)
         if m:
@@ -160,6 +166,26 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
             _set(p, f"{name}/kernel", _t(sd[f"{name}.weight"]))
         if f"{name}.bias" in sd:
             _set(p, f"{name}/bias", sd[f"{name}.bias"])
+    # project_mlp = Sequential(Linear, ReLU, Linear) (base_model.py:72-75)
+    for src, dst in (("project_mlp.0", "project_mlp/fc1"),
+                     ("project_mlp.2", "project_mlp/fc2")):
+        if f"{src}.weight" in sd:
+            _set(p, f"{dst}/kernel", _t(sd[f"{src}.weight"]))
+            _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+    handled = {
+        "backbone", "future_predictor", "classifiers", "mapper_to_inter",
+        "reset_temp_agg_feat_dim", "project_mlp",
+    }
+    leftovers = sorted(
+        {k.split(".")[0] for k in sd} - handled - {"cls_map_verb_action",
+                                                   "cls_map_noun_action"}
+    )
+    if leftovers:
+        LOG.warning(
+            "avt_checkpoint_to_flax: no conversion for module(s) %s — "
+            "they keep the model's init (project_mlp/temporal_aggregator "
+            "weights have no torch->flax mapping yet)", leftovers,
+        )
     return p
 
 
@@ -194,11 +220,58 @@ def merge_params(
     return out
 
 
+def _module_to_flax_name(module: str) -> str:
+    """Reference torch module path -> our flax param subtree name.
+
+    The expts files use the reference's torch names: 'backbone.model'
+    (the timm model inside FrameLevelModel), 'classifiers.action' (a
+    ModuleDict entry). Our tree flattens those.
+    """
+    if module in ("backbone.model", "backbone"):
+        return "backbone"
+    m = re.match(r"^classifiers\.(.+)$", module)
+    if m:
+        return f"classifiers_{m.group(1)}"
+    return module
+
+
+def _convert_checkpoint(sd: Mapping[str, np.ndarray]):
+    """Detect the checkpoint layout and convert to flax params.
+
+    Returns (tree, is_full_tree): is_full_tree=True when the tree is an
+    AVTModel-level tree (subtrees per module); False when it is the params
+    of ONE module (e.g. a raw timm ViT or HF GPT-2 state_dict).
+    """
+    keys = set(sd)
+    if any(
+        k.startswith(("backbone.", "future_predictor.", "classifiers."))
+        or k.startswith(("mapper_to_inter.", "reset_temp_agg_feat_dim."))
+        for k in keys
+    ):
+        return avt_checkpoint_to_flax(sd), True
+    if "cls_token" in keys and "patch_embed.proj.weight" in keys:
+        return timm_vit_to_flax(sd), False  # raw timm ViT
+    if "wpe.weight" in keys:
+        return gpt2_to_flax(sd), False  # raw HF GPT2Model
+    if "weight" in keys and keys <= {"weight", "bias"}:
+        p: Dict = {"fc": {"kernel": _t(sd["weight"])}}  # bare nn.Linear
+        if "bias" in sd:
+            p["fc"]["bias"] = np.asarray(sd["bias"])
+        return p, False
+    raise ValueError(
+        f"init_from_model: unrecognized checkpoint layout (keys like "
+        f"{sorted(keys)[:5]}); no torch->flax conversion available"
+    )
+
+
 def init_from_model(params: Dict, specs, loader=load_torch_state_dict) -> Dict:
     """Reference-style partial init (func/train.py:669-688).
 
-    specs: list of (module_name, ckpt_module_prefix_or_None, ckpt_path).
-    module_name '' or None loads into the full model.
+    specs: list of (module_name, ckpt_module_prefix_or_None, ckpt_path);
+    module names use the REFERENCE's torch paths (e.g. 'backbone.model',
+    'classifiers.action' — how the expts files are written). module ''
+    or None loads into the full model. Unresolvable specs RAISE: a
+    requested pretrained init silently not happening is the worst outcome.
     """
     new_params = params
     for spec in specs:
@@ -215,16 +288,37 @@ def init_from_model(params: Dict, specs, loader=load_torch_state_dict) -> Dict:
                 for k, v in sd.items()
                 if k.startswith(ckpt_prefix)
             }
-        converted = avt_checkpoint_to_flax(sd)
+            if not sd:
+                raise ValueError(
+                    f"init_from_model: prefix {ckpt_prefix!r} matches no "
+                    f"keys in {path}"
+                )
+        converted, is_full_tree = _convert_checkpoint(sd)
+        if not converted:
+            raise ValueError(
+                f"init_from_model: nothing converted from {path} "
+                f"(spec module={module!r})"
+            )
         inner = new_params["params"] if "params" in new_params else new_params
         if module:
-            sub = converted.get(module, converted)
-            if module not in inner:
-                LOG.warning("Module %s not in model params; skipped", module)
-                continue
+            flax_name = _module_to_flax_name(module)
+            if flax_name not in inner:
+                raise KeyError(
+                    f"init_from_model: module {module!r} (flax "
+                    f"{flax_name!r}) not in model params {sorted(inner)}"
+                )
+            sub = (
+                converted.get(flax_name, converted) if is_full_tree
+                else converted
+            )
             merged = dict(inner)
-            merged[module] = merge_params(inner[module], sub)
+            merged[flax_name] = merge_params(inner[flax_name], sub)
         else:
+            if not is_full_tree:
+                raise ValueError(
+                    f"init_from_model: {path} is a module-level checkpoint; "
+                    f"give the spec a module name to load it into"
+                )
             merged = merge_params(inner, converted)
         new_params = (
             {**new_params, "params": merged} if "params" in new_params else merged

@@ -77,13 +77,17 @@ class RULSTMAgg(nn.Module):
         # also work but obscures the param structure for no runtime gain here
         for t in range(T):
             carry, _ = rolling(carry, feats[:, t])
-        # unroll the future from the rolling state, feeding zero frames
-        # (matching the wrapper's zero-padding, reference :188-193)
+        # unroll the future from the rolling state; the U-LSTM's input is
+        # the LAST observed representation repeated each step (the RULSTM
+        # paper's sequence-completion scheme — the official code feeds
+        # x[:, t] into the unrolling LSTM, not zeros). num_pad_feats adds
+        # unroll steps to match models trained with longer unrolls
+        # (reference wrapper :188-193).
         h = carry
         out = h[1]
-        zero = jnp.zeros_like(feats[:, 0])
+        last = feats[:, -1]
         for _ in range(self.num_pad_feats + 1):
-            h, out = unrolling(h, zero)
+            h, out = unrolling(h, last)
         return out, {}
 
     @property

@@ -26,6 +26,8 @@ from flax import linen as nn
 
 from avt_tpu.ops.attention import packed_attention
 
+_VIT_LINEAR_INIT = nn.initializers.normal(stddev=0.01)
+
 
 class ViTAttention(nn.Module):
     num_heads: int
@@ -38,9 +40,13 @@ class ViTAttention(nn.Module):
         # place and its backward hands one packed dqkv to this Dense's
         # backward — no split/transpose/pad traffic in HBM (the round-1
         # attention bottleneck at B*T=160 frames x 197 tokens)
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        # N(0, 0.01): the reference's model-wide Linear init clobbers
+        # every ViT nn.Linear after construction (base_model.py:110-127)
+        qkv = nn.Dense(3 * C, dtype=self.dtype,
+                       kernel_init=_VIT_LINEAR_INIT, name="qkv")(x)
         out = packed_attention(qkv, self.num_heads, causal=False)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(C, dtype=self.dtype,
+                        kernel_init=_VIT_LINEAR_INIT, name="proj")(out)
 
 
 class ViTBlock(nn.Module):
@@ -57,9 +63,11 @@ class ViTBlock(nn.Module):
             ViTAttention(self.num_heads, dtype=self.dtype, name="attn")(h)
         )
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.Dense(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype,
+                     kernel_init=_VIT_LINEAR_INIT, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)  # timm uses exact GELU
-        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_fc2")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype,
+                     kernel_init=_VIT_LINEAR_INIT, name="mlp_fc2")(h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         return x + h
 
@@ -94,8 +102,12 @@ class ViT(nn.Module):
             name="patch_embed",
         )(x)
         x = x.reshape(B * T, n_patches, self.embed_dim)
+        # timm 0.4.12 init: trunc_normal(0.02) for cls_token/pos_embed
+        # (they are bare Parameters the reference's Linear clobber skips)
         cls_token = self.param(
-            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+            "cls_token",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, 1, self.embed_dim),
         )
         x = jnp.concatenate(
             [jnp.broadcast_to(cls_token, (B * T, 1, self.embed_dim)).astype(x.dtype), x],
@@ -103,7 +115,7 @@ class ViT(nn.Module):
         )
         pos_embed = self.param(
             "pos_embed",
-            nn.initializers.normal(stddev=0.02),
+            nn.initializers.truncated_normal(stddev=0.02),
             (1, n_patches + 1, self.embed_dim),
         )
         x = x + pos_embed.astype(x.dtype)
