@@ -49,6 +49,13 @@ def main(argv=None):
                         help="launch tensorboard on the experiment outputs")
     parser.add_argument("--delete", action="store_true",
                         help="delete this experiment's outputs")
+    parser.add_argument("--kill", action="store_true",
+                        help="stop this experiment's running processes "
+                             "(by the exact PIDs in run.pid files)")
+    parser.add_argument("--folder", action="store_true",
+                        help="serve the experiment outputs over HTTP")
+    parser.add_argument("--port", type=int, default=8000,
+                        help="port for --folder")
     parser.add_argument("--print-cmd", action="store_true",
                         help="print the per-host command(s) and exit")
     parser.add_argument("--nodes", type=int, default=None,
@@ -66,6 +73,30 @@ def main(argv=None):
     if args.delete:
         logger.info("Deleting %s", out_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
+        return
+    if args.kill:
+        # the local-scheduler analog of the reference's `scancel` mode
+        # (launch.py:229): each run wrote its exact PID to run.pid
+        # (train_net.cli), so no name/pattern matching is involved.
+        import signal
+
+        killed = 0
+        for pid_file in sorted(Path(out_dir).glob("*/run.pid")):
+            try:
+                pid = int(pid_file.read_text().strip())
+                os.kill(pid, signal.SIGTERM)
+                logger.info("Sent SIGTERM to %d (%s)", pid, pid_file)
+                killed += 1
+            except (ValueError, ProcessLookupError, PermissionError) as e:
+                logger.info("Skipping %s: %s", pid_file, e)
+        logger.info("Killed %d run(s)", killed)
+        return
+    if args.folder:
+        # reference launch.py:242: http view of the outputs folder
+        subprocess.call(
+            [sys.executable, "-m", "http.server", str(args.port),
+             "--directory", out_dir]
+        )
         return
     if args.tb:
         subprocess.call(

@@ -321,7 +321,18 @@ def cli(argv=None):
             work_dir = os.path.join("OUTPUTS", expt, str(run_id))
         os.makedirs(work_dir, exist_ok=True)
         logger.info("Run %d -> %s", run_id, work_dir)
-        results.append(main(cfg, work_dir))
+        # run.pid lets `launch --kill` stop this run by exact PID — the
+        # local-scheduler analog of the reference's scancel (launch.py:229)
+        pid_file = os.path.join(work_dir, "run.pid")
+        with open(pid_file, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            results.append(main(cfg, work_dir))
+        finally:
+            try:
+                os.remove(pid_file)
+            except OSError:
+                pass
     return results
 
 

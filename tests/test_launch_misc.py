@@ -103,3 +103,34 @@ def test_launcher_print_cmd_multihost(capsys):
         assert "JAX_NUM_PROCESSES=4" in line
         assert "JAX_COORDINATOR_ADDRESS=" in line
         assert "-m avt_tpu.train_net" in line
+
+
+def test_launcher_kill_by_pidfile(tmp_path, monkeypatch):
+    """--kill SIGTERMs the exact PIDs recorded in run.pid files (the local
+    analog of the reference's scancel mode, launch.py:229)."""
+    import subprocess
+    import sys
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    expt = tmp_path / "kill_expt.txt"
+    expt.write_text("train.batch_size=4\n")
+    od = output_dir_for(str(expt))
+    run_dir = tmp_path / od / "0"
+    run_dir.mkdir(parents=True)
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(600)"])
+    (run_dir / "run.pid").write_text(str(proc.pid))
+    # a stale pid file (already-dead process) must be skipped gracefully
+    stale = tmp_path / od / "1"
+    stale.mkdir()
+    (stale / "run.pid").write_text("999999")
+    try:
+        launch_main(["-c", str(expt), "--kill"])
+        for _ in range(50):
+            if proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is not None, "process not terminated by --kill"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
