@@ -114,6 +114,41 @@ def fold_subclips(video: jax.Array, num_frames: int, stride: int) -> jax.Array:
     return jnp.stack(clips, axis=1)
 
 
+def temporal_center_crop(video: jax.Array, clip_len: int) -> jax.Array:
+    """Keep the center clip_len frames of (..., 3, T, H, W).
+
+    Parity: reference common/transforms.py:303-308 (temporal_center_crop),
+    defined for completeness — the reference exports it but no shipped
+    config uses it.
+    """
+    T = video.shape[-3]
+    if T <= clip_len:
+        return video
+    start = (T - clip_len) // 2
+    return video[..., start : start + clip_len, :, :]
+
+
+def unfold_clips(video: jax.Array, clip_len: int, overlap: float) -> jax.Array:
+    """(3, T, H, W) -> (#clips, 3, clip_len, H, W), stepping by
+    round(clip_len * overlap) frames (non-overlapping at overlap=1).
+
+    Parity: reference common/transforms.py:311-324 (UnfoldClips): clips
+    shorter than clip_len come back whole as a single clip; the step used
+    by torch.unfold there is clip_len itself — the computed `self.step` is
+    never passed — so this replicates the shipped behaviour and keeps the
+    overlap argument for signature parity.
+    """
+    assert 0 < overlap <= 1
+    T = video.shape[1]
+    if T < clip_len:
+        return video[None]
+    clips = [
+        video[:, i : i + clip_len]
+        for i in range(0, T - clip_len + 1, clip_len)
+    ]
+    return jnp.stack(clips, axis=0)
+
+
 class VideoPreprocessor:
     """Config-driven device preprocessing; see module docstring."""
 

@@ -93,3 +93,23 @@ def test_train_fn_scale_jitter_changes_content_scale():
     outs = [np.asarray(pp.train_fn(f, jax.random.PRNGKey(i))) for i in range(4)]
     diffs = [np.abs(outs[0] - o).mean() for o in outs[1:]]
     assert all(d > 1e-3 for d in diffs)
+
+
+def test_temporal_center_crop_and_unfold_clips():
+    """Parity with the reference's (exported, unused) temporal transforms
+    (common/transforms.py:303-324): torch-checked semantics."""
+    from avt_tpu.data.transforms import temporal_center_crop, unfold_clips
+
+    vid = jnp.arange(3 * 10 * 2 * 2, dtype=jnp.float32).reshape(3, 10, 2, 2)
+    out = temporal_center_crop(vid, 4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(vid[:, 3:7]))
+    assert temporal_center_crop(vid, 12).shape == vid.shape
+
+    clips = unfold_clips(vid, 4, 1.0)
+    # torch: clip.unfold(1, 4, 4).permute(1, 0, 4, 2, 3) -> 2 clips of 4
+    assert clips.shape == (2, 3, 4, 2, 2)
+    np.testing.assert_array_equal(np.asarray(clips[0]), np.asarray(vid[:, :4]))
+    np.testing.assert_array_equal(np.asarray(clips[1]), np.asarray(vid[:, 4:8]))
+    # shorter than clip_len: whole video as one clip
+    short = unfold_clips(vid[:, :3], 4, 1.0)
+    assert short.shape == (1, 3, 3, 2, 2)
