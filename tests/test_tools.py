@@ -1,0 +1,51 @@
+"""tools/resize_videos_256px.py: the dataset-prep step the reference ships
+as sample_scripts/resize_epic_256px.sh (pre-resize videos to 256px height
+so the loader decodes near the training scale)."""
+import importlib.util
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+_TOOL = Path(__file__).resolve().parent.parent / "tools" / "resize_videos_256px.py"
+spec = importlib.util.spec_from_file_location("resize_tool", _TOOL)
+resize_tool = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(resize_tool)
+
+
+def _write_video(path: Path, w=640, h=480, n=30, fps=30.0):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for i in range(n):
+        f = np.zeros((h, w, 3), np.uint8)
+        f[:, :, 2] = (i * 8) % 256
+        wr.write(f)
+    wr.release()
+
+
+def test_resize_tree_resumable(tmp_path, capsys):
+    src, out = tmp_path / "in", tmp_path / "out"
+    _write_video(src / "P01" / "clip.MP4")
+    assert resize_tool.main([str(src), str(out)]) == 0
+    dst = out / "P01" / "clip.MP4"
+    cap = cv2.VideoCapture(str(dst))
+    shape = (
+        int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+    )
+    cap.release()
+    # 480 -> 256, width 640*256/480 = 341.3 rounded to even = 342
+    assert shape == (256, 342, 30), shape
+    # no stray .part temp files
+    assert not list(out.rglob("*.part*"))
+    # second run skips completed outputs (featext-style resume)
+    capsys.readouterr()
+    assert resize_tool.main([str(src), str(out)]) == 0
+    assert "skip (done)" in capsys.readouterr().out
+
+
+def test_resize_empty_tree_errors(tmp_path):
+    (tmp_path / "in").mkdir()
+    assert resize_tool.main([str(tmp_path / "in"), str(tmp_path / "out")]) == 1
