@@ -30,8 +30,12 @@ from typing import Dict, List, Optional, Sequence, Union
 import numpy as np
 import pandas as pd
 
-from avt_tpu.evaluate.metrics import compute_accuracy, softmax_np
-from avt_tpu.evaluate.results import read_results
+from avt_tpu.evaluate.metrics import (
+    combine_verb_noun_preds,
+    compute_accuracy,
+    softmax_np,
+)
+from avt_tpu.evaluate.results import get_logits_from_results, read_results
 
 LOG = logging.getLogger(__name__)
 
@@ -112,6 +116,86 @@ def epic100_unseen_tail_eval(probs: Sequence[np.ndarray], dataset) -> Dict:
         _, _, uns, _, _ = compute_accuracy(probs[i][unseen], labels[unseen])
         out[f"{pfx}rec5_tail"] = tail
         out[f"{pfx}rec5_unseen"] = uns
+    return out
+
+
+def format_accuracies_epic(metrics: Dict, prefix: str = "") -> List[str]:
+    """The reference's EPIC metric report lines (notebooks/utils.py:379-402)."""
+    lines = [
+        f"[{prefix}] Accuracies verb/noun/action: "
+        f"{metrics['vtop1']:.1f} {metrics['vtop5']:.1f} "
+        f"{metrics['ntop1']:.1f} {metrics['ntop5']:.1f} "
+        f"{metrics['atop1']:.1f} {metrics['atop5']:.1f}",
+        f"[{prefix}] Mean class top-1 accuracies verb/noun/action: "
+        f"{metrics['vtop1_meancls']:.1f} {metrics['ntop1_meancls']:.1f} "
+        f"{metrics['atop1_meancls']:.1f}",
+        f"[{prefix}] Recall@5 verb/noun/action: "
+        f"{metrics['vrec5']:.1f} {metrics['nrec5']:.1f} "
+        f"{metrics['arec5']:.1f}",
+        f"[{prefix}] Recall@5 many shot verb/noun/action: "
+        f"{metrics['vrec5_ms']:.1f} {metrics['nrec5_ms']:.1f} "
+        f"{metrics['arec5_ms']:.1f}",
+    ]
+    if "vrec5_tail" in metrics:  # EK100: tail/unseen computed together
+        lines += [
+            f"[{prefix}] Recall@5 tail verb/noun/action: "
+            f"{metrics['vrec5_tail']:.1f} {metrics['nrec5_tail']:.1f} "
+            f"{metrics['arec5_tail']:.1f}",
+            f"[{prefix}] Recall@5 unseen verb/noun/action: "
+            f"{metrics['vrec5_unseen']:.1f} {metrics['nrec5_unseen']:.1f} "
+            f"{metrics['arec5_unseen']:.1f}",
+        ]
+    return lines
+
+
+def print_accuracies_epic(metrics: Dict, prefix: str = "") -> None:
+    for line in format_accuracies_epic(metrics, prefix):
+        print(line)
+
+
+def get_epic_action_accuracy(
+    verb_resdir: str, verb_dataset, noun_resdir: str, noun_dataset
+) -> Dict:
+    """Action metrics implied by separate verb and noun runs: softmax outer
+    product of the two runs' logits scores the verb x noun action grid
+    (notebooks/utils.py:416-456 — the EGTEA-style two-head eval). Returns
+    the same metric-key bundle as compute_accuracies_epic (many-shot slots
+    are NaN, as in the reference)."""
+    res_verb = get_logits_from_results(read_results(verb_resdir))
+    res_noun = get_logits_from_results(read_results(noun_resdir))
+    assert (
+        len(verb_dataset.df) == len(res_verb)
+        == len(noun_dataset.df) == len(res_noun)
+    )
+    out = {}
+    for pfx, scores, ds, col in (
+        ("v", res_verb, verb_dataset, "verb_class"),
+        ("n", res_noun, noun_dataset, "noun_class"),
+    ):
+        top1, top5, rec5, top1_meancls, rec5_per_cls = compute_accuracy(
+            scores, ds.df[col].values
+        )
+        out.update({
+            f"{pfx}top1": top1, f"{pfx}top5": top5, f"{pfx}rec5": rec5,
+            f"{pfx}rec5_ms": float("nan"),
+            f"{pfx}top1_meancls": top1_meancls,
+            f"{pfx}rec5_per_cls": rec5_per_cls,
+        })
+    res_action = combine_verb_noun_preds(res_verb, res_noun)
+    true_action = (
+        verb_dataset.df["verb_class"].values * res_noun.shape[1]
+        + noun_dataset.df["noun_class"].values
+    )
+    atop1, atop5, arec5, atop1_meancls, arec5_per_cls = compute_accuracy(
+        res_action, true_action
+    )
+    out.update({
+        "atop1": atop1, "atop5": atop5, "arec5": arec5,
+        "arec5_ms": float("nan"), "atop1_meancls": atop1_meancls,
+        "arec5_per_cls": arec5_per_cls,
+    })
+    for line in format_accuracies_epic(out):
+        LOG.info("%s", line)
     return out
 
 

@@ -122,3 +122,27 @@ def read_all_results(run_dir: str, prefix: str = "results") -> Dict[str, Dict]:
     for resdir in glob.glob(osp.join(run_dir, prefix + "*")):
         all_res[osp.basename(resdir)] = read_results(resdir)
     return all_res
+
+
+def get_epoch_from_resdir(resdir: str):
+    """The (fractional) epoch the stored results were computed at — min
+    across rows — or None if absent (notebooks/utils.py:153-159); tells
+    finished evals apart from stale/partial ones."""
+    data = next(gen_load_resfiles(resdir))
+    if "epoch" not in data:
+        return None
+    return float(np.min(data["epoch"]))
+
+
+def get_logits_from_results(results: Dict[str, np.ndarray]):
+    """The logits of a read_results dict: the single 'logits/<task>' entry
+    (or legacy 'logits'), else a dict of all logits keys when a run stored
+    several tasks (notebooks/utils.py:405-413)."""
+    if "logits" in results:
+        return results["logits"]
+    keys = [k for k in results if k.startswith("logits/")]
+    if not keys:
+        raise KeyError(f"no logits keys in results: {sorted(results)}")
+    if len(keys) == 1:
+        return results[keys[0]]
+    return {k: results[k] for k in keys}

@@ -190,3 +190,40 @@ def test_compute_accuracy_per_class_recall_values():
     assert per_cls[0] == pytest.approx(100.0)
     assert per_cls[1] == pytest.approx(0.0)
     assert ar5 == pytest.approx(50.0)
+
+
+def test_get_epic_action_accuracy_two_runs(ds, tmp_path):
+    """Separate verb and noun runs combine into action metrics via the
+    softmax outer product (notebooks/utils.py:416-456)."""
+    from avt_tpu.evaluate.analysis import (
+        format_accuracies_epic,
+        get_epic_action_accuracy,
+    )
+    from avt_tpu.evaluate.results import (
+        get_epoch_from_resdir,
+        get_logits_from_results,
+        read_results,
+    )
+
+    n = len(ds.df)
+    vdir, ndir = str(tmp_path / "rv"), str(tmp_path / "rn")
+    v_scores = np.eye(N_V, dtype=np.float32)[ds.df.verb_class.values] * 6
+    n_scores = np.eye(N_N, dtype=np.float32)[ds.df.noun_class.values] * 6
+    store_append_h5(
+        {"logits/verb": v_scores, "idx": np.arange(n),
+         "epoch": np.full(n, 3.5)}, vdir,
+    )
+    store_append_h5({"logits/noun": n_scores, "idx": np.arange(n)}, ndir)
+
+    assert get_epoch_from_resdir(vdir) == 3.5
+    assert get_epoch_from_resdir(ndir) is None
+    assert get_logits_from_results(read_results(vdir)).shape == (n, N_V)
+
+    out = get_epic_action_accuracy(vdir, ds, ndir, ds)
+    # perfect verb+noun scores -> perfect action over the v*n grid
+    assert out["vtop1"] == 100.0 and out["ntop1"] == 100.0
+    assert out["atop1"] == 100.0
+    assert np.isnan(out["arec5_ms"])
+    lines = format_accuracies_epic(out, "test")
+    assert lines[0].startswith("[test] Accuracies verb/noun/action: 100.0")
+    assert len(lines) == 4  # no tail/unseen keys here
