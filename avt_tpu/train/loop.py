@@ -29,6 +29,38 @@ from avt_tpu.train.meters import MetricLogger, make_tb_writer
 from avt_tpu.train.step import TrainState
 
 _JIT_KEYS = ("video", "target", "target_subclips")
+_VIDEO_LOG_DISABLED = False
+
+
+def _store_video_logs(batch, step_id, print_large_freq, metric_logger):
+    """TB grids of every 6-D '*video' batch key (reference func/train.py:
+    77-102): flatten (B, #clips), transpose to tensorboard's (N, T, C, H, W),
+    min-max normalize. Disabled after the first failure (tensorboardX's
+    video encoder needs moviepy, which may be absent)."""
+    global _VIDEO_LOG_DISABLED
+    if (
+        metric_logger.writer is None
+        or not print_large_freq
+        or _VIDEO_LOG_DISABLED
+    ):
+        return
+    for key, video in batch.items():
+        arr = np.asarray(video)
+        if not key.endswith("video") or arr.ndim != 6:
+            continue
+        v = arr.reshape((-1,) + arr.shape[2:]).transpose(0, 2, 1, 3, 4)
+        v = v.astype(np.float32)
+        v -= v.min()
+        vmax = v.max()
+        if vmax > 0:
+            v /= vmax
+        try:
+            # batches don't carry per-video fps; the reference floors its
+            # min-fps estimate at 4 anyway (func/train.py:100-101)
+            metric_logger.writer.add_video(key, v, step_id, fps=4)
+        except Exception:
+            _VIDEO_LOG_DISABLED = True
+            return
 
 
 def _jit_batch(batch):
@@ -53,6 +85,7 @@ def train_one_epoch(
     metric_logger: Optional[MetricLogger] = None,
     logger=None,
     print_freq: int = 10,
+    print_large_freq: int = 1000,
     save_freq: Optional[float] = None,
     save_freq_min: Optional[float] = None,
     save_intermediates: bool = False,
@@ -165,6 +198,11 @@ def train_one_epoch(
             last_saved_time = now
             last_save_bucket = bucket
 
+        # TB video grids once per print_large_freq steps (step_id advances
+        # by K per chunk, so fire on the crossing chunk)
+        if print_large_freq and step_id % print_large_freq < K:
+            _store_video_logs(chunk[0], step_id, print_large_freq,
+                              metric_logger)
         jit_chunk = [_jit_batch(b) for b in chunk]
         # xprof-visible step annotation (jax.profiler trace server is
         # served by `avt_tpu.launch --profile`)
@@ -217,6 +255,8 @@ def run_training(
     ckpt_dir: Optional[str] = None,
     eval_freq: int = 1,
     store_best: bool = False,
+    print_freq: int = 10,
+    print_large_freq: int = 1000,
     save_freq: Optional[float] = None,
     save_freq_min: Optional[float] = 60.0,
     save_intermediates: bool = False,
@@ -262,6 +302,8 @@ def run_training(
             unroll_steps=unroll_steps,
             place_batch=place_batch,
             logger=logger,
+            print_freq=print_freq,
+            print_large_freq=print_large_freq,
             save_freq=save_freq,
             save_freq_min=save_freq_min,
             save_intermediates=save_intermediates,

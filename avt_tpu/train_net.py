@@ -277,6 +277,8 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         ckpt_dir=work_dir,
         eval_freq=cfg["train"].get("eval_freq", 1),
         store_best=cfg["train"].get("store_best", False),
+        print_freq=tcfg.get("print_freq", 10),
+        print_large_freq=tcfg.get("print_large_freq", 1000),
         save_freq=tcfg.get("save_freq"),
         save_freq_min=tcfg.get("save_freq_min"),
         save_intermediates=tcfg.get("save_intermediates", False),

@@ -287,3 +287,51 @@ def test_plateau_counters_persist_through_checkpoint(tmp_path):
         str(tmp_path / "old"), state, host_template=fresh.state_dict()
     )
     assert r2 is not None and r2[1] == 1.0
+
+
+def test_store_video_logs_tb_grid():
+    """TB video grids (reference func/train.py:77-102): 6-D '*video' keys
+    flattened over (B, #clips), transposed to (N, T, C, H, W), min-max
+    normalized; non-video/non-6D keys skipped; encoder failures disable
+    the feature instead of crashing training."""
+    from avt_tpu.train import loop as loop_mod
+    from avt_tpu.train.meters import MetricLogger
+
+    class FakeWriter:
+        def __init__(self, fail=False):
+            self.calls = []
+            self.fail = fail
+
+        def add_video(self, key, vid, step, fps=None):
+            if self.fail:
+                raise RuntimeError("no moviepy")
+            self.calls.append((key, np.asarray(vid), step, fps))
+
+        def add_scalar(self, *a, **k):
+            pass
+
+    loop_mod._VIDEO_LOG_DISABLED = False
+    w = FakeWriter()
+    ml = MetricLogger(writer=w)
+    batch = {
+        "video": np.arange(2 * 3 * 3 * 4 * 5 * 5, dtype=np.float32).reshape(
+            2, 3, 3, 4, 5, 5
+        ),
+        "target": np.zeros((2,), np.int64),  # skipped: not a video key
+        "future_0_video": np.zeros((2, 4, 5)),  # skipped: not 6-D
+    }
+    loop_mod._store_video_logs(batch, 0, 1000, ml)
+    assert len(w.calls) == 1
+    key, vid, step, fps = w.calls[0]
+    assert key == "video" and step == 0 and fps == 4
+    assert vid.shape == (6, 4, 3, 5, 5)  # (B*#clips, T, C, H, W)
+    assert vid.min() == 0.0 and vid.max() == 1.0
+
+    # failure path: first error disables, later calls are no-ops
+    loop_mod._VIDEO_LOG_DISABLED = False
+    wf = FakeWriter(fail=True)
+    loop_mod._store_video_logs(batch, 0, 1000, MetricLogger(writer=wf))
+    assert loop_mod._VIDEO_LOG_DISABLED
+    loop_mod._store_video_logs(batch, 0, 1000, ml)
+    assert len(w.calls) == 1  # unchanged
+    loop_mod._VIDEO_LOG_DISABLED = False
