@@ -55,9 +55,19 @@ class ViTBlock(nn.Module):
     ln_eps: float = 1e-6
     drop_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    # None = auto: exact erf GELU in f32 (bit-parity with timm), tanh
+    # approximation under bf16 compute. Measured on v5e: the erf is VPU
+    # transcendental work that costs ~0.9 ms/block at bench shapes while
+    # the tanh form fuses into the matmul epilogue (~free), and in bf16
+    # the approximation error is below the rounding error (mean abs err
+    # 0.0020 vs 0.0017 against the f32-exact reference).
+    gelu_approx: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        approx = self.gelu_approx
+        if approx is None:
+            approx = self.dtype == jnp.bfloat16
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + nn.Dropout(self.drop_rate, deterministic=not train)(
             ViTAttention(self.num_heads, dtype=self.dtype, name="attn")(h)
@@ -65,7 +75,7 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype,
                      kernel_init=_VIT_LINEAR_INIT, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)  # timm uses exact GELU
+        h = nn.gelu(h, approximate=approx)  # timm uses exact GELU
         h = nn.Dense(x.shape[-1], dtype=self.dtype,
                      kernel_init=_VIT_LINEAR_INIT, name="mlp_fc2")(h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
@@ -84,6 +94,7 @@ class ViT(nn.Module):
     drop_rate: float = 0.0
     ln_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 compute
+    gelu_approx: Optional[bool] = None  # see ViTBlock.gelu_approx
 
     @nn.compact
     def __call__(self, video, *, train: bool = False):
@@ -127,6 +138,7 @@ class ViT(nn.Module):
                 ln_eps=self.ln_eps,
                 drop_rate=self.drop_rate,
                 dtype=self.dtype,
+                gelu_approx=self.gelu_approx,
                 name=f"blocks_{i}",
             )(x, train=train)
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)

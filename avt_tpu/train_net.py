@@ -59,6 +59,10 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     seed = cfg.get("seed", 42)
     np.random.seed(seed)
 
+    from avt_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     # Multi-host init (no-op single host), then one (data x model) mesh over
     # every device — the reference's DDP wrap (func/train.py:771-782) is the
     # 'data' axis; 'model' is a tensor-parallel seam it never had.

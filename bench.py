@@ -37,6 +37,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from avt_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # cold compile of this step is minutes on 1 core
+
     from avt_tpu.data.transforms import VideoPreprocessor
     from avt_tpu.models.flagship import build_avt
     from avt_tpu.train import TrainState, build_optimizer, make_train_step
