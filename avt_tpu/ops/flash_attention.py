@@ -434,6 +434,9 @@ flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)
 # Dense backward directly. Residuals: just (qkv, do) — no out/lse stored
 # (delta folds into rowsum(p * dp)).
 # ---------------------------------------------------------------------------
+LOG2E = 1.4426950408889634
+
+
 def _short_fwd_kernel(qkv_ref, o_ref, *, num_heads, sm_scale, kv_len, causal):
     """qkv_ref (G, T, 3*H*D) -> o_ref (G, T, H*D); full-seq softmax.
 
@@ -441,24 +444,36 @@ def _short_fwd_kernel(qkv_ref, o_ref, *, num_heads, sm_scale, kv_len, causal):
     Mosaic handles 2D lane-sliced loads/stores natively, where interior
     integer indexing of a 5D (G, T, 3, H, D) ref would need an unsupported
     vector reshape.
+
+    The softmax runs in base 2 with log2(e) folded into the q scaling (exp
+    lowers to exp2 + a per-element multiply anyway), and the mask select is
+    skipped when statically all-true (the ViT path: non-causal, no padding).
+    Measured on v5e at the ViT shape (160x197x768): this kernel is ~1.6x
+    faster than XLA's fused attention forward (2.3 vs 3.7 ms chained) and
+    near its structural floor — the cost is 1920 small (197x64) matmul
+    pipelines, not VPU arithmetic (exp2/maskless/bigger-G all measured
+    neutral within noise).
     """
     G, T, C3 = qkv_ref.shape
     C = C3 // 3
     D = C // num_heads
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    mask = k_pos < kv_len
-    if causal:
-        mask = mask & (k_pos <= q_pos)
+    masked = causal or kv_len < T
+    if masked:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        mask = k_pos < kv_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
     for g in range(G):
         for h in range(num_heads):
-            q = qkv_ref[g, :, h * D:(h + 1) * D] * sm_scale
+            q = qkv_ref[g, :, h * D:(h + 1) * D] * (sm_scale * LOG2E)
             k = qkv_ref[g, :, C + h * D:C + (h + 1) * D]
             v = qkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D]
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            s = jnp.where(mask, s, NEG_INF)
+            if masked:
+                s = jnp.where(mask, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = jnp.exp2(s - m)
             l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
             # reciprocal-multiply: T divides + T*T muls instead of T*T
             # divides (div is many VPU cycles; this is ~15% of the kernel)
@@ -473,44 +488,64 @@ def _short_bwd_kernel(
 ):
     """Recompute-probabilities backward; writes dq/dk/dv into one packed
     (G, T, 3*H*D) output via static lane slices. delta = rowsum(pn * dp),
-    so neither out nor lse need storing."""
+    so neither out nor lse need storing. Base-2 softmax + static maskless
+    path as in the forward kernel; q carries sm_scale*log2(e), so the dk
+    matmul against it is rescaled by 1/log2(e) to recover ds^T @ (q*scale).
+    """
     G, T, C3 = qkv_ref.shape
     C = C3 // 3
     D = C // num_heads
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    mask = k_pos < kv_len
-    if causal:
-        mask = mask & (k_pos <= q_pos)
+    masked = causal or kv_len < T
+    if masked:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        mask = k_pos < kv_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
     for g in range(G):
         for h in range(num_heads):
-            q = qkv_ref[g, :, h * D:(h + 1) * D] * sm_scale  # scale in q
+            q = qkv_ref[g, :, h * D:(h + 1) * D] * (sm_scale * LOG2E)
             k = qkv_ref[g, :, C + h * D:C + (h + 1) * D]
             v = qkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D]
             do = do_ref[g, :, h * D:(h + 1) * D]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            s = jnp.where(mask, s, NEG_INF)
+            s = jax.lax.dot_general(  # q @ k.T without the relayout
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if masked:
+                s = jnp.where(mask, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = jnp.exp2(s - m)
             l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
             pn = p * (1.0 / l)  # (T, T) f32; see fwd kernel note on divides
-            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(  # do @ v.T
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
             ds = pn * (dp - delta)
             ds_c = ds.astype(k.dtype)
             dqkv_ref[g, :, h * D:(h + 1) * D] = (
                 jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * sm_scale
             ).astype(dqkv_ref.dtype)
-            dqkv_ref[g, :, C + h * D:C + (h + 1) * D] = jnp.dot(
-                ds_c.T, q, preferred_element_type=jnp.float32
+            dqkv_ref[g, :, C + h * D:C + (h + 1) * D] = (
+                jax.lax.dot_general(  # ds.T @ q: contract the q-rows dim
+                    ds_c, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (1.0 / LOG2E)
             ).astype(dqkv_ref.dtype)
-            dqkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D] = jnp.dot(
-                pn.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+            dqkv_ref[g, :, 2 * C + h * D:2 * C + (h + 1) * D] = (
+                jax.lax.dot_general(  # p.T @ do
+                    pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             ).astype(dqkv_ref.dtype)
 
 
 def _short_pick_group(n: int, per_frame_bytes: int) -> int:
-    budget = 5 * 1024 * 1024
+    # ~10MB of the ~16MB VMEM: fewer, fatter programs (per-program fixed
+    # cost dominated at the old 5MB budget: G=2 fwd / G=1 bwd at ViT shape)
+    budget = 10 * 1024 * 1024
     g = max(1, min(n, budget // max(per_frame_bytes, 1)))
     while n % g != 0:
         g -= 1

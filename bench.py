@@ -18,12 +18,14 @@ vs_baseline = measured / 20.0 = how many idealized V100s one TPU chip
 replaces on this workload.
 """
 import json
+import os
 import sys
 import time
 
 V100_CLIPS_PER_SEC_EST = 20.0
-B = 16          # clips per step (B=32 measured slower: HBM-bound)
-K = 8           # train steps per dispatch
+# clips per step; overridable for A/B runs (AVT_BENCH_B=32 python bench.py)
+B = int(os.environ.get("AVT_BENCH_B", "16"))
+K = int(os.environ.get("AVT_BENCH_K", "8"))  # train steps per dispatch
 T, H, W = 10, 256, 342
 N_CLS = 3806
 
