@@ -289,3 +289,55 @@ def test_from_scratch_init_statistics():
         assert abs(float(jnp.std(kern)) - 0.01) < 0.002
     # biases zero
     assert float(jnp.abs(params["classifiers_action"]["fc"]["bias"]).max()) == 0.0
+
+
+def test_vit_gelu_policy_and_bf16_consistency():
+    """f32 ViT uses exact erf GELU (timm parity); bf16 auto-switches to the
+    tanh approximation, whose error must stay within bf16 rounding of the
+    f32-exact reference (models/vit.py ViTBlock.gelu_approx)."""
+    from avt_tpu.models.vit import ViT
+
+    v = jnp.asarray(RNG.normal(size=(1, 3, 2, 32, 32)).astype(np.float32))
+    vit32 = ViT(img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=2)
+    params = vit32.init(jax.random.PRNGKey(0), v)
+    out32 = vit32.apply(params, v)
+
+    # explicit exact-GELU f32 == default f32 (policy resolves to exact)
+    vit32_exact = ViT(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                      num_heads=2, gelu_approx=False)
+    np.testing.assert_array_equal(np.asarray(out32),
+                                  np.asarray(vit32_exact.apply(params, v)))
+    # f32 with tanh approx differs (proves the policy bit is live)
+    vit32_tanh = ViT(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                     num_heads=2, gelu_approx=True)
+    assert not np.array_equal(np.asarray(out32),
+                              np.asarray(vit32_tanh.apply(params, v)))
+
+    # bf16 (auto tanh) stays within bf16-rounding distance of f32-exact:
+    # compare against bf16-exact-gelu as the rounding yardstick
+    vit16 = ViT(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                num_heads=2, dtype=jnp.bfloat16)
+    vit16_exact = ViT(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                      num_heads=2, dtype=jnp.bfloat16, gelu_approx=False)
+    out16 = np.asarray(vit16.apply(params, v), dtype=np.float32)
+    out16_exact = np.asarray(vit16_exact.apply(params, v), dtype=np.float32)
+    ref = np.asarray(out32, dtype=np.float32)
+    err_tanh = np.abs(out16 - ref).mean()
+    err_exact = np.abs(out16_exact - ref).mean()
+    assert err_tanh < max(2.5 * err_exact, 1e-2), (err_tanh, err_exact)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """enable_compile_cache points JAX at a persistent dir; AVT_TPU_NO_CACHE
+    disables it (utils/compile_cache.py)."""
+    from avt_tpu.utils import enable_compile_cache
+
+    target = str(tmp_path / "cache")
+    enable_compile_cache(target)
+    assert jax.config.jax_compilation_cache_dir == target
+    import os as _os
+
+    assert _os.path.isdir(target)
+    monkeypatch.setenv("AVT_TPU_NO_CACHE", "1")
+    enable_compile_cache(str(tmp_path / "other"))  # no-op when disabled
+    assert jax.config.jax_compilation_cache_dir == target
