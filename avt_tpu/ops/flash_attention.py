@@ -542,6 +542,119 @@ def _short_bwd_kernel(
             ).astype(dqkv_ref.dtype)
 
 
+def _pair_masks(T: int, W: int, D: int, dtype):
+    """(T, W) lane masks selecting the low / high head of a 128-lane pair."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    return (lane < D).astype(dtype), (lane >= D).astype(dtype)
+
+
+def _short_fwd_kernel_paired(
+    qkv_ref, o_ref, *, num_heads, sm_scale, kv_len, causal
+):
+    """Head-PAIR variant of _short_fwd_kernel for D=64 heads.
+
+    A (197, 64) head slice at odd h starts mid-lane-tile (lane tiling is
+    128), so every per-head access costs cross-lane shuffles. Loading
+    aligned (T, 128) head pairs and separating heads by masking ONE matmul
+    operand (zeroed lanes contribute nothing to the contraction) keeps all
+    VMEM traffic tile-aligned at identical effective MXU work — measured
+    ~10% faster, bit-identical output.
+    """
+    G, T, C3 = qkv_ref.shape
+    C = C3 // 3
+    D = C // num_heads
+    W = 2 * D
+    masked = causal or kv_len < T
+    if masked:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        smask = k_pos < kv_len
+        if causal:
+            smask = smask & (k_pos <= q_pos)
+    m_lo, m_hi = _pair_masks(T, W, D, qkv_ref.dtype)
+    for g in range(G):
+        for hp in range(num_heads // 2):
+            q2 = qkv_ref[g, :, hp * W:(hp + 1) * W] * (sm_scale * LOG2E)
+            k2 = qkv_ref[g, :, C + hp * W:C + (hp + 1) * W]
+            v2 = qkv_ref[g, :, 2 * C + hp * W:2 * C + (hp + 1) * W]
+            o = None
+            for m in (m_lo, m_hi):
+                s = jnp.dot(q2 * m, k2.T, preferred_element_type=jnp.float32)
+                if masked:
+                    s = jnp.where(smask, s, NEG_INF)
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - mx)
+                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                pn = (p * (1.0 / l)).astype(v2.dtype)
+                pv = jnp.dot(pn, v2 * m, preferred_element_type=jnp.float32)
+                o = pv if o is None else o + pv
+            o_ref[g, :, hp * W:(hp + 1) * W] = o.astype(o_ref.dtype)
+
+
+def _short_bwd_kernel_paired(
+    qkv_ref, do_ref, dqkv_ref, *, num_heads, sm_scale, kv_len, causal
+):
+    """Head-pair recompute backward (see _short_fwd_kernel_paired).
+
+    Per head: masking one operand of each matmul confines the contraction
+    to that head's lanes; the two heads' (T, 128) grads sum into one
+    aligned store per q/k/v third.
+    """
+    G, T, C3 = qkv_ref.shape
+    C = C3 // 3
+    D = C // num_heads
+    W = 2 * D
+    masked = causal or kv_len < T
+    if masked:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        smask = k_pos < kv_len
+        if causal:
+            smask = smask & (k_pos <= q_pos)
+    m_lo, m_hi = _pair_masks(T, W, D, qkv_ref.dtype)
+    for g in range(G):
+        for hp in range(num_heads // 2):
+            q2 = qkv_ref[g, :, hp * W:(hp + 1) * W] * (sm_scale * LOG2E)
+            k2 = qkv_ref[g, :, C + hp * W:C + (hp + 1) * W]
+            v2 = qkv_ref[g, :, 2 * C + hp * W:2 * C + (hp + 1) * W]
+            do2 = do_ref[g, :, hp * W:(hp + 1) * W]
+            dq = dk = dv = None
+            for m in (m_lo, m_hi):
+                qm = q2 * m
+                s = jnp.dot(qm, k2.T, preferred_element_type=jnp.float32)
+                if masked:
+                    s = jnp.where(smask, s, NEG_INF)
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - mx)
+                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                pn = p * (1.0 / l)
+                dom = do2 * m
+                dp = jnp.dot(dom, (v2 * m).T,
+                             preferred_element_type=jnp.float32)
+                delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+                ds = pn * (dp - delta)
+                ds_c = ds.astype(k2.dtype)
+                dq_h = jnp.dot(ds_c, k2 * m,
+                               preferred_element_type=jnp.float32) * sm_scale
+                dk_h = jnp.dot(ds_c.T, qm,
+                               preferred_element_type=jnp.float32) * (1.0 / LOG2E)
+                dv_h = jnp.dot(pn.astype(dom.dtype).T, dom,
+                               preferred_element_type=jnp.float32)
+                dq = dq_h if dq is None else dq + dq_h
+                dk = dk_h if dk is None else dk + dk_h
+                dv = dv_h if dv is None else dv + dv_h
+            dqkv_ref[g, :, hp * W:(hp + 1) * W] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, C + hp * W:C + (hp + 1) * W] = (
+                dk.astype(dqkv_ref.dtype))
+            dqkv_ref[g, :, 2 * C + hp * W:2 * C + (hp + 1) * W] = (
+                dv.astype(dqkv_ref.dtype))
+
+
+def _use_paired(num_heads: int, head_dim: int) -> bool:
+    """Pair path: D=64 heads (the misaligned case) with an even count."""
+    return head_dim == 64 and num_heads % 2 == 0
+
+
 def _short_pick_group(n: int, per_frame_bytes: int) -> int:
     # ~10MB of the ~16MB VMEM: fewer, fatter programs (per-program fixed
     # cost dominated at the old 5MB budget: G=2 fwd / G=1 bwd at ViT shape)
@@ -561,9 +674,12 @@ def _short_attention_fwd_call(qkv, num_heads, causal, interpret):
     sm_scale = 1.0 / math.sqrt(D)
     per_frame = (3 + 1) * T * H * D * qkv.dtype.itemsize * 2
     G = _short_pick_group(N, per_frame)
+    fwd_kernel = (
+        _short_fwd_kernel_paired if _use_paired(H, D) else _short_fwd_kernel
+    )
     return pl.pallas_call(
         functools.partial(
-            _short_fwd_kernel, num_heads=H, sm_scale=sm_scale, kv_len=T,
+            fwd_kernel, num_heads=H, sm_scale=sm_scale, kv_len=T,
             causal=causal,
         ),
         grid=(N // G,),
@@ -592,9 +708,12 @@ def _short_attention_bwd_call(qkv, do, num_heads, causal, interpret):
     sm_scale = 1.0 / math.sqrt(D)
     per_frame = (3 + 1 + 3) * T * H * D * qkv.dtype.itemsize * 2
     G = _short_pick_group(N, per_frame)
+    bwd_kernel = (
+        _short_bwd_kernel_paired if _use_paired(H, D) else _short_bwd_kernel
+    )
     return pl.pallas_call(
         functools.partial(
-            _short_bwd_kernel, num_heads=H, sm_scale=sm_scale, kv_len=T,
+            bwd_kernel, num_heads=H, sm_scale=sm_scale, kv_len=T,
             causal=causal,
         ),
         grid=(N // G,),
