@@ -49,3 +49,31 @@ def test_resize_tree_resumable(tmp_path, capsys):
 def test_resize_empty_tree_errors(tmp_path):
     (tmp_path / "in").mkdir()
     assert resize_tool.main([str(tmp_path / "in"), str(tmp_path / "out")]) == 1
+
+
+def test_smoke_train_tool_composes(tmp_path):
+    """tools/smoke_train.py: both synthetic dataset fabricators produce
+    trees the config path can compose and build datasets from (the full
+    training runs are exercised on-chip; this pins the mechanics)."""
+    _SMOKE = Path(__file__).resolve().parent.parent / "tools" / "smoke_train.py"
+    sspec = importlib.util.spec_from_file_location("smoke_tool", _SMOKE)
+    smoke = importlib.util.module_from_spec(sspec)
+    sspec.loader.exec_module(smoke)
+
+    from avt_tpu.config import Composer, parse_override
+    from avt_tpu.config.build import build_all_datasets
+    from avt_tpu.train_net import CONF_DIR
+
+    feat_root = tmp_path / "feat"
+    smoke.make_dataset(feat_root)
+    assert (feat_root / "annot" / "training.csv").exists()
+    raw_root = tmp_path / "raw"
+    smoke.make_video_dataset(raw_root)
+    assert (raw_root / "vids" / "P00" / "P00_01.MP4").exists()
+
+    cfg = Composer(str(CONF_DIR)).compose(
+        "config", [parse_override(o) for o in smoke.raw_overrides(raw_root, 1)]
+    )
+    train_ds, eval_ds = build_all_datasets(cfg)
+    assert len(train_ds) == 1 and len(train_ds[0]) > 0
+    assert set(eval_ds) == {""} and len(eval_ds[""]) > 0
