@@ -22,6 +22,13 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     Safe to call any time before (or after) backend init; subsequent
     compilations of an already-seen HLO load from disk. AVT_TPU_NO_CACHE=1
     disables (e.g. when benchmarking compile time itself).
+
+    Note: on CPU, loading cached AOT results can log "machine feature ...
+    not supported" errors when XLA's tuning flags (+prefer-no-scatter
+    etc.) differ between the writing and reading process on the SAME
+    machine. These are warnings from an over-strict feature comparison —
+    the entry still loads and executes correctly (verified: cached and
+    uncached runs produce identical losses).
     """
     if os.environ.get("AVT_TPU_NO_CACHE"):
         return

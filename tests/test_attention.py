@@ -95,8 +95,10 @@ def test_multi_head_attention_shapes():
 
 
 @pytest.mark.parametrize("N,T,H,D,causal", [
-    (3, 197, 12, 64, False),   # ViT-B shape
-    (2, 64, 4, 32, True),
+    (3, 197, 12, 64, False),   # ViT-B shape -> head-PAIR kernels
+    (2, 96, 4, 64, True),      # paired path, causal masking
+    (2, 96, 3, 64, False),     # odd head count at D=64 -> per-head kernels
+    (2, 64, 4, 32, True),      # D != 64 -> per-head kernels
     (1, 10, 2, 16, True),      # below the pallas threshold: XLA fallback
 ])
 def test_packed_attention_matches_split_path(N, T, H, D, causal):
