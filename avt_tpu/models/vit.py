@@ -18,15 +18,31 @@ avt_tpu.models.import_torch so released AVT/timm checkpoints load.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from avt_tpu.ops.attention import packed_attention
+from avt_tpu.ops.attention import fused_qkv_attention
 
 _VIT_LINEAR_INIT = nn.initializers.normal(stddev=0.01)
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree (kernel, bias) so
+    checkpoints import unchanged while the matmul runs inside a fused op."""
+
+    features: int
+    kernel_init: Any = _VIT_LINEAR_INIT
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class ViTAttention(nn.Module):
@@ -36,15 +52,16 @@ class ViTAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         N, T, C = x.shape
-        # packed path: the Pallas kernel consumes the fused qkv output in
-        # place and its backward hands one packed dqkv to this Dense's
-        # backward — no split/transpose/pad traffic in HBM (the round-1
-        # attention bottleneck at B*T=160 frames x 197 tokens)
+        # fused path: the qkv projection runs INSIDE the attention kernel
+        # (per head-pair), overlapping projection MXU with softmax VPU; its
+        # backward hands one packed dqkv to XLA's dx/dw matmuls — no
+        # split/transpose/pad traffic in HBM (the round-1 bottleneck at
+        # B*T=160 frames x 197 tokens). Param tree matches nn.Dense, so
+        # timm/AVT checkpoint import is unchanged.
         # N(0, 0.01): the reference's model-wide Linear init clobbers
         # every ViT nn.Linear after construction (base_model.py:110-127)
-        qkv = nn.Dense(3 * C, dtype=self.dtype,
-                       kernel_init=_VIT_LINEAR_INIT, name="qkv")(x)
-        out = packed_attention(qkv, self.num_heads, causal=False)
+        kernel, bias = _DenseParams(3 * C, name="qkv")(C)
+        out = fused_qkv_attention(x, kernel, bias, self.num_heads)
         return nn.Dense(C, dtype=self.dtype,
                         kernel_init=_VIT_LINEAR_INIT, name="proj")(out)
 

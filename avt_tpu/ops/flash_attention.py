@@ -655,6 +655,110 @@ def _use_paired(num_heads: int, head_dim: int) -> bool:
     return head_dim == 64 and num_heads % 2 == 0
 
 
+def _fused_qkv_attn_fwd_kernel(
+    x_ref, w_ref, b_ref, o_ref, qkv_ref, *, num_heads, sm_scale, causal
+):
+    """Fused qkv projection + head-pair attention forward.
+
+    Computes qkv = x @ W + b PER HEAD-PAIR inside the kernel, so Mosaic
+    overlaps one pair's projection matmuls (MXU) with another pair's
+    softmax (VPU) — measured on v5e, independent MXU/VPU chains in one
+    kernel run at ~max(t_mxu, t_vpu), not the sum (.bench/overlap_probe).
+    The projected qkv is also written out: the backward reads it exactly
+    like the unfused path (packed dqkv kernel + XLA dW/dx matmuls), and
+    q2/k2/v2 are rounded to the storage dtype BEFORE the softmax so the
+    forward is bit-identical to Dense -> packed_short_attention.
+    """
+    G, T, C = x_ref.shape
+    D = C // num_heads
+    W = 2 * D
+    masked = bool(causal)
+    if masked:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        smask = k_pos <= q_pos
+    m_lo, m_hi = _pair_masks(T, W, D, x_ref.dtype)
+    for g in range(G):
+        # ONE big projection per frame (M=T, K=C, N=3C — near-peak MXU);
+        # frame g+1's projection has no dependency on frame g's softmax,
+        # so Mosaic overlaps them across the g loop. flax Dense rounding
+        # order: dot (f32 accum -> storage dtype), then bias in storage.
+        qkv_g = jnp.dot(
+            x_ref[g, :, :], w_ref[...],
+            preferred_element_type=jnp.float32,
+        ).astype(x_ref.dtype) + b_ref[0, :][None, :]
+        qkv_ref[g, :, :] = qkv_g
+        for hp in range(num_heads // 2):
+            sl_q = slice(hp * W, (hp + 1) * W)
+            q2 = qkv_g[:, hp * W:(hp + 1) * W]
+            k2 = qkv_g[:, C + hp * W:C + (hp + 1) * W]
+            v2 = qkv_g[:, 2 * C + hp * W:2 * C + (hp + 1) * W]
+            q2s = q2 * (sm_scale * LOG2E)
+            o = None
+            for m in (m_lo, m_hi):
+                s = jnp.dot(q2s * m, k2.T,
+                            preferred_element_type=jnp.float32)
+                if masked:
+                    s = jnp.where(smask, s, NEG_INF)
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - mx)
+                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                pn = (p * (1.0 / l)).astype(v2.dtype)
+                pv = jnp.dot(pn, v2 * m, preferred_element_type=jnp.float32)
+                o = pv if o is None else o + pv
+            o_ref[g, :, sl_q] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
+def _fused_qkv_attn_fwd_call(x, w, b, num_heads, causal, interpret):
+    N, T, C = x.shape
+    H = num_heads
+    D = C // H
+    sm_scale = 1.0 / math.sqrt(D)
+    itemsize = max(x.dtype.itemsize, 2)
+    # per-frame VMEM: x + o + qkv blocks, double-buffered; W is
+    # constant-indexed (resident once)
+    w_bytes = C * 3 * C * itemsize
+    per_frame = 5 * T * C * itemsize * 2
+    budget = 10 * 1024 * 1024 - w_bytes
+    G = max(1, min(N, budget // max(per_frame, 1)))
+    while N % G != 0:
+        G -= 1
+    return pl.pallas_call(
+        functools.partial(
+            _fused_qkv_attn_fwd_kernel, num_heads=H, sm_scale=sm_scale,
+            causal=causal,
+        ),
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, T, C), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, T, C), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, 3 * C), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T, C), x.dtype),
+            jax.ShapeDtypeStruct((N, T, 3 * C), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * T * C * 3 * C + 4 * N * H * T * T * D,
+            bytes_accessed=(x.size * 5 + w.size) * itemsize,
+            transcendentals=N * H * T * T,
+        ),
+        interpret=interpret,
+    )(x, w, b[None, :])
+
+
 def _short_pick_group(n: int, per_frame_bytes: int) -> int:
     # ~10MB of the ~16MB VMEM: fewer, fatter programs (per-program fixed
     # cost dominated at the old 5MB budget: G=2 fwd / G=1 bwd at ViT shape)
@@ -733,6 +837,85 @@ def _short_attention_bwd_call(qkv, do, num_heads, causal, interpret):
         ),
         interpret=interpret,
     )(qkv, do)
+
+
+def fused_qkv_attention(x, w, b, num_heads, causal=False):
+    """qkv projection + attention in ONE kernel: x (N,T,C), w (C,3C), b (3C).
+
+    Returns (N, T, C). Bit-identical to `x @ w + b` -> packed_short_attention
+    (projections are rounded to x.dtype before the softmax), but the per-
+    head-pair projection matmuls run INSIDE the kernel so Mosaic overlaps
+    them with the previous pair's softmax VPU work. Backward: the packed
+    dqkv recompute kernel on the stored qkv + XLA dx/dw/db matmuls.
+
+    The x.dtype casts sit OUTSIDE the custom_vjp, so param gradients get
+    the storage->param dtype conversion from JAX's cast vjp — the same
+    rounding flax's Dense(dtype=...) produces.
+    """
+    return _fused_vjp(x, w.astype(x.dtype), b.astype(x.dtype),
+                      num_heads, causal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_vjp(x, wc, bc, num_heads, causal=False):
+    o, _ = _partitioned_fused_fwd(num_heads, causal, _interp())(x, wc, bc)
+    return o
+
+
+def _fused_fwd_rule(x, wc, bc, num_heads, causal):
+    o, qkv = _partitioned_fused_fwd(num_heads, causal, _interp())(x, wc, bc)
+    return o, (x, wc, qkv)
+
+
+def _fused_bwd_rule(num_heads, causal, res, g):
+    x, wc, qkv = res
+    dqkv = _partitioned_short_bwd(num_heads, causal, _interp())(qkv, g)
+    N, T, C3 = dqkv.shape
+    d2 = dqkv.reshape(N * T, C3)
+    dx = jnp.dot(d2, wc.T).reshape(x.shape)
+    xf = x.reshape(N * T, x.shape[-1])
+    dw = jnp.dot(xf.T, d2)
+    db = jnp.sum(d2.astype(jnp.float32), axis=0).astype(d2.dtype)
+    return dx, dw, db
+
+
+_fused_vjp.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fused_fwd(num_heads: int, causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    @custom_partitioning
+    def fwd(x, w, b):
+        return _fused_qkv_attn_fwd_call(x, w, b, num_heads, causal, interpret)
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        sh = NamedSharding(mesh, pl_P(batch, None, None))
+        return (sh, sh)
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        x_sh = NamedSharding(mesh, pl_P(batch, None, None))
+        w_sh = NamedSharding(mesh, pl_P(None, None))
+        b_sh = NamedSharding(mesh, pl_P(None))
+
+        def lower(x, w, b):
+            return _fused_qkv_attn_fwd_call(
+                x, w, b, num_heads, causal, interpret
+            )
+
+        return mesh, lower, (x_sh, x_sh), (x_sh, w_sh, b_sh)
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        # batch factor shared between x and both outputs; w/b replicated
+        sharding_rule="b t c, c f, f -> b t d, b t e",
+    )
+    return fwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

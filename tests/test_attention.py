@@ -196,3 +196,36 @@ def test_flash_attention_partitions_over_mesh():
             err_msg=f"d{name}",
         )
         assert "data" in str(a.sharding.spec), (name, a.sharding)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_qkv_attention_matches_split_path(causal):
+    """fused_qkv_attention (projection inside the kernel, interpret
+    off-TPU) == Dense-equivalent matmul + packed attention, forward AND
+    all three gradients (dx, dw, db)."""
+    from avt_tpu.ops.attention import fused_qkv_attention
+
+    N, T, H, D = 2, 96, 4, 64
+    C = H * D
+    x = jnp.asarray(RNG.normal(size=(N, T, C)).astype(np.float32) * 0.3)
+    w = jnp.asarray(RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.02)
+    b = jnp.asarray(RNG.normal(size=(3 * C,)).astype(np.float32) * 0.02)
+
+    def f_fused(x, w, b):
+        return fused_qkv_attention(x, w, b, H, causal=causal,
+                                   use_pallas=True)
+
+    def f_ref(x, w, b):
+        return fused_qkv_attention(x, w, b, H, causal=causal,
+                                   use_pallas=False)
+
+    o1, vjp1 = jax.vjp(f_fused, x, w, b)
+    o2, vjp2 = jax.vjp(f_ref, x, w, b)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-4, atol=2e-4)
+    g = jnp.asarray(RNG.normal(size=o1.shape).astype(np.float32))
+    for got, ref in zip(vjp1(g), vjp2(g)):
+        scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(ref) / scale,
+                                   rtol=2e-4, atol=2e-4)
