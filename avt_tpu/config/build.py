@@ -28,11 +28,13 @@ def build_preprocessor(data_cfg: Dict):
 
     from avt_tpu.data.transforms import VideoPreprocessor
 
-    dtype = str(data_cfg.get("compute_dtype") or "float32")
+    def _dt(key):
+        name = str(data_cfg.get(key) or "float32")
+        return jnp.bfloat16 if name in ("bf16", "bfloat16") else jnp.float32
+
     return VideoPreprocessor(
-        compute_dtype=(
-            jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
-        ),
+        compute_dtype=_dt("compute_dtype"),
+        out_dtype=_dt("out_dtype"),
         crop_size=data_cfg.get("crop_size"),
         scale_h=data_cfg.get("scale_h", 256),
         scale_w=data_cfg.get("scale_w", -1),

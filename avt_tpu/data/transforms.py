@@ -169,12 +169,18 @@ class VideoPreprocessor:
         eval_num_crops: int = 1,
         eval_flip_crops: bool = False,
         compute_dtype=jnp.float32,
+        out_dtype=jnp.float32,
     ):
         """compute_dtype: dtype of the fused resize+crop (the only full-
         resolution compute). bfloat16 halves the HBM traffic of the hot
         full-res pass (pixel values 0..255 quantize to ~0.4% in bf16 — noise
         far below the augmentation jitter); everything after the crop stays
-        float32."""
+        float32.
+
+        out_dtype: dtype of the returned video. Set bfloat16 when the
+        backbone computes in bf16: the values reaching the model are
+        bit-identical (the backbone casts anyway) but the cast fuses into
+        the normalize epilogue instead of a separate full-tensor pass."""
         self.crop_size = crop_size
         self.scale_h = scale_h
         self.scale_w = scale_w
@@ -192,6 +198,7 @@ class VideoPreprocessor:
         self.eval_num_crops = eval_num_crops
         self.eval_flip_crops = eval_flip_crops
         self.compute_dtype = compute_dtype
+        self.out_dtype = out_dtype
 
     # ------------------------------------------------------------- common
     def _finalize(self, x):
@@ -199,7 +206,7 @@ class VideoPreprocessor:
         x = x * self.scale_pix_val
         if self.reverse_channels:
             x = x[..., ::-1]
-        return (x - self.mean) / self.std
+        return ((x - self.mean) / self.std).astype(self.out_dtype)
 
     # -------------------------------------------------------------- train
     @functools.partial(jax.jit, static_argnums=(0,))

@@ -25,7 +25,7 @@ import time
 V100_CLIPS_PER_SEC_EST = 20.0
 # clips per step; overridable for A/B runs (AVT_BENCH_B=32 python bench.py)
 B = int(os.environ.get("AVT_BENCH_B", "16"))
-K = int(os.environ.get("AVT_BENCH_K", "8"))  # train steps per dispatch
+K = int(os.environ.get("AVT_BENCH_K", "16"))  # train steps per dispatch
 T, H, W = 10, 256, 342
 N_CLS = 3806
 
@@ -53,6 +53,7 @@ def main():
         crop_size=224, scale_h="248-280", scale_w=-1,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), flip_p=0.5,
         compute_dtype=jnp.bfloat16,  # full-res pass in bf16 (HBM-bound)
+        out_dtype=jnp.bfloat16,  # backbone computes bf16: fuse the cast
     )
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
