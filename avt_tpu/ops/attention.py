@@ -131,6 +131,20 @@ def fused_qkv_attention(
 
         return _fused_pallas(x, kernel, bias, num_heads, causal)
     k = kernel.astype(x.dtype)
+    packed = (
+        jax.default_backend() == "tpu"
+        and T >= 64
+        and head_dim == 64
+        and num_heads % 2 == 0
+    )
+    if packed:
+        # split path with the bias gradient fused into the attention
+        # backward kernel (saves a full-dqkv HBM read per layer)
+        from avt_tpu.ops.flash_attention import packed_qkv_bias_attention
+
+        return packed_qkv_bias_attention(
+            jnp.dot(x, k), bias, num_heads, causal
+        )
     b = bias.astype(x.dtype)
     qkv = jnp.dot(x, k) + b
     return packed_attention(qkv, num_heads, causal=causal)

@@ -592,14 +592,22 @@ def _short_fwd_kernel_paired(
 
 
 def _short_bwd_kernel_paired(
-    qkv_ref, do_ref, dqkv_ref, *, num_heads, sm_scale, kv_len, causal
+    qkv_ref, do_ref, dqkv_ref, *maybe_db, num_heads, sm_scale, kv_len, causal
 ):
     """Head-pair recompute backward (see _short_fwd_kernel_paired).
 
     Per head: masking one operand of each matmul confines the contraction
     to that head's lanes; the two heads' (T, 128) grads sum into one
     aligned store per q/k/v third.
+
+    Optional db_ref (1, 3C) f32 output: the qkv BIAS gradient
+    sum-over-rows(dqkv), accumulated in VMEM while dqkv is still resident
+    (its out-block index is constant, so Mosaic keeps it in VMEM across
+    sequential grid steps). Without this, XLA's Dense backward re-reads
+    the full dqkv from HBM just to reduce it — 0.2 ms x 12 blocks/step
+    at ViT-B bench shapes.
     """
+    db_ref = maybe_db[0] if maybe_db else None
     G, T, C3 = qkv_ref.shape
     C = C3 // 3
     D = C // num_heads
@@ -612,6 +620,10 @@ def _short_bwd_kernel_paired(
         if causal:
             smask = smask & (k_pos <= q_pos)
     m_lo, m_hi = _pair_masks(T, W, D, qkv_ref.dtype)
+    if db_ref is not None:
+        @pl.when(pl.program_id(0) == 0)
+        def _init_db():
+            db_ref[...] = jnp.zeros_like(db_ref)
     for g in range(G):
         for hp in range(num_heads // 2):
             q2 = qkv_ref[g, :, hp * W:(hp + 1) * W] * (sm_scale * LOG2E)
@@ -648,6 +660,18 @@ def _short_bwd_kernel_paired(
                 dk.astype(dqkv_ref.dtype))
             dqkv_ref[g, :, 2 * C + hp * W:2 * C + (hp + 1) * W] = (
                 dv.astype(dqkv_ref.dtype))
+            if db_ref is not None:
+                # db = sum over rows of dqkv, matching XLA's reduce of the
+                # bf16-rounded dqkv (reduce the STORED values, not the f32)
+                db_ref[0, hp * W:(hp + 1) * W] += jnp.sum(
+                    dq.astype(dqkv_ref.dtype).astype(jnp.float32), axis=0
+                )
+                db_ref[0, C + hp * W:C + (hp + 1) * W] += jnp.sum(
+                    dk.astype(dqkv_ref.dtype).astype(jnp.float32), axis=0
+                )
+                db_ref[0, 2 * C + hp * W:2 * C + (hp + 1) * W] += jnp.sum(
+                    dv.astype(dqkv_ref.dtype).astype(jnp.float32), axis=0
+                )
 
 
 def _use_paired(num_heads: int, head_dim: int) -> bool:
@@ -837,6 +861,128 @@ def _short_attention_bwd_call(qkv, do, num_heads, causal, interpret):
         ),
         interpret=interpret,
     )(qkv, do)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
+def _short_attention_bwd_db_call(qkv, do, num_heads, causal, interpret):
+    """(dqkv, db): the paired backward with the bias gradient accumulated
+    in-kernel (db out-block index is constant -> VMEM-resident reduction
+    across grid steps). Paired geometry (D=64, even heads) only."""
+    N, T, C3 = qkv.shape
+    H, D = num_heads, C3 // (3 * num_heads)
+    assert _use_paired(H, D), (H, D)
+    sm_scale = 1.0 / math.sqrt(D)
+    per_frame = (3 + 1 + 3) * T * H * D * qkv.dtype.itemsize * 2
+    G = _short_pick_group(N, per_frame)
+    return pl.pallas_call(
+        functools.partial(
+            _short_bwd_kernel_paired, num_heads=H, sm_scale=sm_scale,
+            kv_len=T, causal=causal,
+        ),
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, T, C3), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, H * D), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, T, C3), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C3), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((1, C3), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=11 * N * H * T * T * D,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 8 // 3,
+            transcendentals=N * H * T * T,
+        ),
+        interpret=interpret,
+    )(qkv, do)
+
+
+def packed_qkv_bias_attention(qkv_nobias, bias, num_heads, causal=False):
+    """bias add + head-pair attention with the BIAS GRADIENT computed
+    inside the backward kernel.
+
+    qkv_nobias: (N, T, 3C) — the qkv projection BEFORE its bias (the bias
+    add fuses into the producer matmul's epilogue under XLA). The custom
+    backward emits (dqkv, db) from one kernel pass: without it, autodiff
+    re-reads the full dqkv from HBM just to reduce the bias gradient.
+    Paired geometry (head_dim 64, even head count) only.
+    """
+    return _packed_bias_vjp(qkv_nobias, bias.astype(qkv_nobias.dtype),
+                            num_heads, causal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _packed_bias_vjp(qkv_nobias, bias_c, num_heads, causal=False):
+    qkv = qkv_nobias + bias_c
+    return _partitioned_short_fwd(num_heads, causal, _interp())(qkv)
+
+
+def _packed_bias_fwd_rule(qkv_nobias, bias_c, num_heads, causal):
+    qkv = qkv_nobias + bias_c
+    o = _partitioned_short_fwd(num_heads, causal, _interp())(qkv)
+    return o, qkv
+
+
+def _packed_bias_bwd_rule(num_heads, causal, qkv, g):
+    dqkv, db = _partitioned_short_bwd_db(num_heads, causal, _interp())(
+        qkv, g
+    )
+    return dqkv, db[0].astype(dqkv.dtype)
+
+
+_packed_bias_vjp.defvjp(_packed_bias_fwd_rule, _packed_bias_bwd_rule)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_short_bwd_db(num_heads: int, causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    @custom_partitioning
+    def bwd(qkv, do):
+        return _short_attention_bwd_db_call(
+            qkv, do, num_heads, causal, interpret
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        return (
+            NamedSharding(mesh, pl_P(batch, None, None)),
+            NamedSharding(mesh, pl_P(None, None)),  # db replicated
+        )
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_component(arg_infos[0])
+        sh3 = NamedSharding(mesh, pl_P(batch, None, None))
+        db_sh = NamedSharding(mesh, pl_P(None, None))
+
+        def lower(qkv, do):
+            dqkv, db = _short_attention_bwd_db_call(
+                qkv, do, num_heads, causal, interpret
+            )
+            if batch is not None:
+                # each shard reduced only its rows; db is the global sum
+                db = jax.lax.psum(db, batch)
+            return dqkv, db
+
+        return mesh, lower, (sh3, db_sh), (sh3, sh3)
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b t c, b s d -> b u e, one f",
+    )
+    return bwd
 
 
 def fused_qkv_attention(x, w, b, num_heads, causal=False):
