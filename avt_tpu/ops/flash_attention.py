@@ -585,8 +585,10 @@ def _short_fwd_kernel_paired(
                 mx = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - mx)
                 l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-                pn = (p * (1.0 / l)).astype(v2.dtype)
-                pv = jnp.dot(pn, v2 * m, preferred_element_type=jnp.float32)
+                # normalize AFTER the pv matmul: a (T, W) row-scale instead
+                # of a (T, T) multiply — one fewer full-score VPU pass
+                pv = jnp.dot(p.astype(v2.dtype), v2 * m,
+                             preferred_element_type=jnp.float32) * (1.0 / l)
                 o = pv if o is None else o + pv
             o_ref[g, :, hp * W:(hp + 1) * W] = o.astype(o_ref.dtype)
 
@@ -639,19 +641,28 @@ def _short_bwd_kernel_paired(
                 mx = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - mx)
                 l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-                pn = p * (1.0 / l)
+                inv_l = 1.0 / l  # (T, 1)
                 dom = do2 * m
                 dp = jnp.dot(dom, (v2 * m).T,
                              preferred_element_type=jnp.float32)
-                delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
-                ds = pn * (dp - delta)
-                ds_c = ds.astype(k2.dtype)
+                # 1/l folded OUT of the (T, T) domain: work with the
+                # unnormalized p and row-rescale the (T, W) matmul
+                # operands/results — one fewer full-score VPU pass
+                t = p * dp
+                delta = jnp.sum(t, axis=-1, keepdims=True) * inv_l
+                ds_u = p * (dp - delta)  # = l * ds
+                ds_c = ds_u.astype(k2.dtype)
                 dq_h = jnp.dot(ds_c, k2 * m,
-                               preferred_element_type=jnp.float32) * sm_scale
-                dk_h = jnp.dot(ds_c.T, qm,
-                               preferred_element_type=jnp.float32) * (1.0 / LOG2E)
-                dv_h = jnp.dot(pn.astype(dom.dtype).T, dom,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32
+                               ) * (sm_scale * inv_l)
+                dk_h = jnp.dot(ds_c.T, qm * inv_l.astype(qm.dtype),
+                               preferred_element_type=jnp.float32
+                               ) * (1.0 / LOG2E)
+                dv_h = jnp.dot(
+                    p.astype(dom.dtype).T,
+                    dom * inv_l.astype(dom.dtype),
+                    preferred_element_type=jnp.float32,
+                )
                 dq = dq_h if dq is None else dq + dq_h
                 dk = dk_h if dk is None else dk + dk_h
                 dv = dv_h if dv is None else dv + dv_h
@@ -727,8 +738,9 @@ def _fused_qkv_attn_fwd_kernel(
                 mx = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - mx)
                 l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-                pn = (p * (1.0 / l)).astype(v2.dtype)
-                pv = jnp.dot(pn, v2 * m, preferred_element_type=jnp.float32)
+                # normalize after the matmul (see _short_fwd_kernel_paired)
+                pv = jnp.dot(p.astype(v2.dtype), v2 * m,
+                             preferred_element_type=jnp.float32) * (1.0 / l)
                 o = pv if o is None else o + pv
             o_ref[g, :, sl_q] = o.astype(o_ref.dtype)
 
