@@ -14,12 +14,15 @@ Reference pipeline replicated:
   eval:  /255 -> Resize(fixed) -> scale/reverse/Normalize -> 1|3 crops
          (+ flipped copies) stacked into a #crops dim
 
-TPU-native deltas (documented, intentionally approximate):
+TPU-native deltas (documented, intentionally approximate — TRAIN path only):
   * random resize + random crop fuse into one jax.image.scale_and_translate
     (static output shape, dynamic scale — no shape-changing resize);
     bilinear kernel antialiases on downscale unlike torch's interpolate.
   * color jitter applies brightness->contrast->saturation->hue in fixed
     order (torchvision shuffles the order per call).
+The EVAL path is torch-exact: resize_bilinear_torch reproduces
+F.interpolate(mode='bilinear', antialias=False) so test-only evaluation of
+released checkpoints sees the reference's exact pixels.
 """
 from __future__ import annotations
 
@@ -28,6 +31,61 @@ from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_taps(in_size: int, out_size: int):
+    """(lo, hi, frac) of torch's 1-D bilinear sampling.
+
+    torch.nn.functional.interpolate(mode='bilinear', antialias=False,
+    align_corners=False) samples output i at src = (i+0.5)*in/out - 0.5,
+    clamped to >= 0; value = x[lo]*(1-frac) + x[lo+1]*frac with the upper
+    tap edge-clamped.
+    """
+    # Match torch's exact float path: scale is a float32 ratio, and the
+    # compiled kernel evaluates scale*(i+0.5)-0.5 with a fused multiply-add
+    # (ONE rounding). Emulated by an exact float64 product of the f32 scale
+    # then a single cast; two-step f32 rounding instead shifts fracs by one
+    # ULP of src (~1.5e-5 at src~250), i.e. ~4e-3 on 0..255 pixels.
+    scale = np.float32(in_size) / np.float32(out_size)
+    idx = np.arange(out_size)
+    src = ((idx + 0.5) * np.float64(scale) - 0.5).astype(np.float32)
+    src = np.maximum(src, np.float32(0.0))
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(np.float32)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    return lo, hi, frac
+
+
+def _resize_axis_torch(x: jax.Array, out_size: int, axis: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if out_size == in_size:
+        return x
+    lo, hi, frac = _interp_taps(in_size, out_size)
+    lo_v = jnp.take(x, jnp.asarray(lo), axis=axis)
+    hi_v = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    f = jnp.asarray(frac, dtype=x.dtype).reshape(shape)
+    # same 2-tap arithmetic as torch's kernel (w0*v0 + w1*v1) so the
+    # rounding matches to float noise, unlike a (sparse-as-dense) matmul
+    return lo_v * (1.0 - f) + hi_v * f
+
+
+def resize_bilinear_torch(
+    x: jax.Array, out_h: int, out_w: int
+) -> jax.Array:
+    """torch-exact bilinear resize (antialias=False) of (..., H, W, C).
+
+    Parity target: reference common/transforms.py:60-91 (Resize ->
+    F.interpolate(mode='bilinear')), pinned against torch itself in
+    tests/test_transforms.py. jax.image.resize cannot reproduce this: its
+    'linear' kernel antialiases on downscale.
+    """
+    x = _resize_axis_torch(x, out_h, x.ndim - 3)
+    return _resize_axis_torch(x, out_w, x.ndim - 2)
 
 
 def _parse_size(size: Union[int, str]) -> Tuple[int, int]:
@@ -265,9 +323,11 @@ class VideoPreprocessor:
         B, T, H, W, _ = frames.shape
         cs = self.crop_size
         nh, nw = self._eval_resize_shape(H, W)
-        x = jax.image.resize(
-            frames.astype(self.compute_dtype), (B, T, nh, nw, 3),
-            method="linear",
+        # torch-exact non-antialiased bilinear: eval MUST match the
+        # reference pixel-for-pixel or released-checkpoint numbers drift
+        # (reference common/transforms.py:60-91; VERDICT r1 missing #3)
+        x = resize_bilinear_torch(
+            frames.astype(self.compute_dtype), nh, nw
         )
         x = x.astype(jnp.float32) / 255.0
         th = tw = cs

@@ -113,3 +113,55 @@ def test_temporal_center_crop_and_unfold_clips():
     # shorter than clip_len: whole video as one clip
     short = unfold_clips(vid[:, :3], 4, 1.0)
     assert short.shape == (1, 3, 3, 2, 2)
+
+
+def test_resize_bilinear_matches_torch_interpolate():
+    """resize_bilinear_torch == torch.nn.functional.interpolate(bilinear,
+    antialias=False) — the reference's eval resize (common/transforms.py:
+    60-91). Golden comparison against torch itself on random frames, both
+    down- and up-scaling, non-square targets."""
+    import torch
+
+    from avt_tpu.data.transforms import resize_bilinear_torch
+
+    rng = np.random.default_rng(3)
+    for (H, W), (nh, nw) in [
+        ((256, 456), (248, 442)),   # EK 256px videos -> scale-jitter low end
+        ((100, 80), (224, 180)),    # upscale
+        ((64, 64), (64, 64)),       # identity
+        ((31, 57), (17, 119)),      # odd sizes, mixed down/up
+    ]:
+        frames = rng.integers(0, 256, size=(2, 3, H, W, 3)).astype(np.float32)
+        got = np.asarray(resize_bilinear_torch(jnp.asarray(frames), nh, nw))
+        # torch wants (N, C, H, W); fold (B, T) and move channels
+        t = torch.from_numpy(frames).reshape(6, H, W, 3).permute(0, 3, 1, 2)
+        want = torch.nn.functional.interpolate(
+            t, size=(nh, nw), mode="bilinear", antialias=False
+        ).permute(0, 2, 3, 1).reshape(2, 3, nh, nw, 3).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_eval_fn_uses_torch_exact_resize():
+    """The jitted eval path end-to-end equals a torch-computed reference:
+    interpolate -> /255 -> normalize -> center crop."""
+    import torch
+
+    from avt_tpu.data.transforms import VideoPreprocessor
+
+    rng = np.random.default_rng(4)
+    H, W, cs = 120, 160, 64
+    frames = rng.integers(0, 256, size=(1, 2, H, W, 3)).astype(np.uint8)
+    mean, std = (0.45, 0.43, 0.41), (0.22, 0.23, 0.24)
+    pp = VideoPreprocessor(crop_size=cs, scale_h=90, scale_w=-1,
+                           mean=mean, std=std, eval_num_crops=1)
+    got = np.asarray(pp.eval_fn(jnp.asarray(frames)))  # (1,1,3,T,cs,cs)
+
+    t = torch.from_numpy(frames.astype(np.float32)).reshape(2, H, W, 3)
+    t = t.permute(0, 3, 1, 2)
+    nh, nw = pp._eval_resize_shape(H, W)
+    t = torch.nn.functional.interpolate(t, size=(nh, nw), mode="bilinear")
+    t = t / 255.0
+    t = (t - torch.tensor(mean)[:, None, None]) / torch.tensor(std)[:, None, None]
+    i, j = int(round((nh - cs) / 2.0)), int(round((nw - cs) / 2.0))
+    want = t[:, :, i:i + cs, j:j + cs].permute(1, 0, 2, 3).numpy()[None, None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
