@@ -27,8 +27,12 @@ class _ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         pad = tuple((k // 2, k // 2) for k in self.kernel)
+        # use_bias: the Caffe->pretrainedmodels conversion kept conv biases
+        # (redundant with BN mathematically, but the pretrained running
+        # stats were computed WITH them — dropping the bias would shift
+        # every imported activation)
         x = nn.Conv(self.features, self.kernel, strides=(self.stride,) * 2,
-                    padding=pad, use_bias=False, name="conv")(x)
+                    padding=pad, use_bias=True, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - self.bn_mom, epsilon=self.bn_eps,
                          name="bn")(x)

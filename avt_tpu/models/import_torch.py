@@ -123,6 +123,178 @@ def gpt2_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "") -> Dict:
     return p
 
 
+# ----------------------------------------------------- conv backbones
+def _conv2d_k(w) -> np.ndarray:
+    """torch Conv2d weight (O, I, kh, kw) -> flax kernel (kh, kw, I, O)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _conv3d_k(w) -> np.ndarray:
+    """torch Conv3d weight (O, I/g, kt, kh, kw) -> (kt, kh, kw, I/g, O)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 4, 1, 0)))
+
+
+def _bn_to_flax(sd, src: str, dst: str, p: Dict, stats: Dict):
+    """torch BatchNorm 'src.*' -> flax params 'dst/{scale,bias}' +
+    batch_stats 'dst/{mean,var}'."""
+    _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+    _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+    _set(stats, f"{dst}/mean", sd[f"{src}.running_mean"])
+    _set(stats, f"{dst}/var", sd[f"{src}.running_var"])
+
+
+def bninception_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
+    """pretrainedmodels bninception state_dict -> BNInceptionVideo variables.
+
+    Returns {'params': ..., 'batch_stats': ...}. Source layout: Caffe-named
+    units 'conv1_7x7_s2(_bn)', 'inception_3a_1x1(_bn)', ... (the checkpoint
+    the reference loads at models/video_classification.py:241-246). The
+    classifier 'last_linear' is dropped (the reference replaces it with
+    Identity).
+    """
+    from avt_tpu.models.bninception import _BLOCKS
+
+    p: Dict = {}
+    stats: Dict = {}
+
+    def unit(src: str, dst: str):
+        _set(p, f"{dst}/conv/kernel", _conv2d_k(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            _set(p, f"{dst}/conv/bias", sd[f"{src}.bias"])
+        _bn_to_flax(sd, f"{src}_bn", f"{dst}/bn", p, stats)
+
+    unit("conv1_7x7_s2", "conv1")
+    unit("conv2_3x3_reduce", "conv2r")
+    unit("conv2_3x3", "conv2")
+    branch_map = [
+        ("1x1", "b1"),
+        ("3x3_reduce", "b3r"),
+        ("3x3", "b3"),
+        ("double_3x3_reduce", "bd3r"),
+        ("double_3x3_1", "bd3a"),
+        ("double_3x3_2", "bd3b"),
+        ("pool_proj", "bpool"),
+    ]
+    for name, _cfg in _BLOCKS:
+        for src_suffix, dst_name in branch_map:
+            src = f"inception_{name}_{src_suffix}"
+            if f"{src}.weight" in sd:  # reduction blocks lack 1x1/pool_proj
+                unit(src, f"inc_{name}/{dst_name}")
+    return {"params": p, "batch_stats": stats}
+
+
+def video_resnet_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
+    """torchvision-layout VideoResNet state_dict -> VideoResNet variables.
+
+    Returns {'params': ..., 'batch_stats': ...}. Handles every conv maker
+    the reference uses (models/video_classification.py:45-113 +
+    torchvision video resnets): plain Conv3d, Conv2Plus1D
+    (Sequential conv/bn/relu/conv), IPConv3DDepthwise (Sequential
+    conv/bn/conv), and both stems. VISSL ig65m trunks ('_feature_blocks.'
+    prefix, func/train.py:467-477) are unwrapped first; the classifier
+    'fc.*' is dropped (backbone_last_n_modules_to_drop).
+    """
+    if any(k.startswith("_feature_blocks.") for k in sd):
+        sd = {
+            k[len("_feature_blocks."):]: v
+            for k, v in sd.items()
+            if k.startswith("_feature_blocks.")
+        }
+    p: Dict = {}
+    stats: Dict = {}
+
+    def maker_unit(src: str, dst: str):
+        """Convert one conv_builder module at torch prefix `src`."""
+        if f"{src}.weight" in sd:  # plain Conv3d (Conv3DSimple/Conv3DDepthwise)
+            _set(p, f"{dst}/conv/kernel", _conv3d_k(sd[f"{src}.weight"]))
+        elif f"{src}.3.weight" in sd:  # Conv2Plus1D: conv, bn, relu, conv
+            _set(p, f"{dst}/conv_s/kernel", _conv3d_k(sd[f"{src}.0.weight"]))
+            _bn_to_flax(sd, f"{src}.1", f"{dst}/bn_mid/bn", p, stats)
+            _set(p, f"{dst}/conv_t/kernel", _conv3d_k(sd[f"{src}.3.weight"]))
+        elif f"{src}.2.weight" in sd:  # IPConv3DDepthwise: conv, bn, conv
+            _set(p, f"{dst}/conv_p/kernel", _conv3d_k(sd[f"{src}.0.weight"]))
+            _bn_to_flax(sd, f"{src}.1", f"{dst}/bn_mid/bn", p, stats)
+            _set(p, f"{dst}/conv_dw/kernel", _conv3d_k(sd[f"{src}.2.weight"]))
+        else:
+            raise ValueError(f"unrecognized conv maker layout at {src}")
+
+    if "stem.3.weight" in sd:  # R2Plus1dStem: conv bn relu conv bn relu
+        _set(p, "stem_conv1/kernel", _conv3d_k(sd["stem.0.weight"]))
+        _bn_to_flax(sd, "stem.1", "stem_bn1/bn", p, stats)
+        _set(p, "stem_conv2/kernel", _conv3d_k(sd["stem.3.weight"]))
+        _bn_to_flax(sd, "stem.4", "stem_bn2/bn", p, stats)
+    else:  # BasicStem / BasicStem_Pool: conv bn relu [pool]
+        _set(p, "stem_conv/kernel", _conv3d_k(sd["stem.0.weight"]))
+        _bn_to_flax(sd, "stem.1", "stem_bn/bn", p, stats)
+
+    for layer in range(1, 5):
+        i = 0
+        while f"layer{layer}.{i}.conv1.1.weight" in sd:
+            base = f"layer{layer}.{i}"
+            dst = f"layer{layer}_{i}"
+            if f"{base}.conv3.1.weight" in sd:  # Bottleneck
+                _set(p, f"{dst}/conv1/kernel",
+                     _conv3d_k(sd[f"{base}.conv1.0.weight"]))
+                _bn_to_flax(sd, f"{base}.conv1.1", f"{dst}/bn1/bn", p, stats)
+                maker_unit(f"{base}.conv2.0", f"{dst}/conv2")
+                _bn_to_flax(sd, f"{base}.conv2.1", f"{dst}/bn2/bn", p, stats)
+                _set(p, f"{dst}/conv3/kernel",
+                     _conv3d_k(sd[f"{base}.conv3.0.weight"]))
+                _bn_to_flax(sd, f"{base}.conv3.1", f"{dst}/bn3/bn", p, stats)
+            else:  # BasicBlock
+                maker_unit(f"{base}.conv1.0", f"{dst}/conv1")
+                _bn_to_flax(sd, f"{base}.conv1.1", f"{dst}/bn1/bn", p, stats)
+                maker_unit(f"{base}.conv2.0", f"{dst}/conv2")
+                _bn_to_flax(sd, f"{base}.conv2.1", f"{dst}/bn2/bn", p, stats)
+            if f"{base}.downsample.0.weight" in sd:
+                _set(p, f"{dst}/ds_conv/kernel",
+                     _conv3d_k(sd[f"{base}.downsample.0.weight"]))
+                _bn_to_flax(sd, f"{base}.downsample.1", f"{dst}/ds_bn/bn",
+                            p, stats)
+            i += 1
+    return {"params": p, "batch_stats": stats}
+
+
+# ----------------------------------------------------------- RULSTM
+def _lstm_cell_to_flax(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    """One torch nn.LSTM layer -> flax OptimizedLSTMCell params.
+
+    torch packs gates row-wise as [i|f|g|o] chunks of weight_ih_l0 (4H, C)
+    / weight_hh_l0 (4H, H) with two bias vectors (both added); flax keeps
+    per-gate Dense kernels i{i,f,g,o} (no bias) and h{i,f,g,o} (bias) —
+    both biases fold into the h-side bias.
+    """
+    w_ih = np.asarray(sd[f"{prefix}.weight_ih_l0"])
+    w_hh = np.asarray(sd[f"{prefix}.weight_hh_l0"])
+    b = np.asarray(sd[f"{prefix}.bias_ih_l0"]) + np.asarray(
+        sd[f"{prefix}.bias_hh_l0"]
+    )
+    H = w_hh.shape[1]
+    out: Dict = {}
+    for idx, g in enumerate("ifgo"):
+        sl = slice(idx * H, (idx + 1) * H)
+        out[f"i{g}"] = {"kernel": _t(w_ih[sl])}
+        out[f"h{g}"] = {"kernel": _t(w_hh[sl]), "bias": b[sl]}
+    return out
+
+
+def rulstm_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Original RULSTM checkpoint (fpv-iplab/rulstm .pth; the weights the
+    reference wraps at models/temporal_aggregation.py:150-201) ->
+    avt_tpu RULSTMAgg params {rolling, unrolling}.
+
+    Handles both the bare nn.LSTM layout ('rolling_lstm.weight_ih_l0')
+    and the OpenLSTM nesting ('rolling_lstm.lstm.weight_ih_l0'); the
+    classifier head is dropped (the reference replaces it with an empty
+    Sequential).
+    """
+    sd = {k.replace(".lstm.", "."): v for k, v in sd.items()}
+    return {
+        "rolling": _lstm_cell_to_flax(sd, "rolling_lstm"),
+        "unrolling": _lstm_cell_to_flax(sd, "unrolling_lstm"),
+    }
+
+
 # ------------------------------------------------------------ AVT model
 def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
     """Full reference BaseModel state_dict -> AVTModel params subtree."""
@@ -253,6 +425,12 @@ def _convert_checkpoint(sd: Mapping[str, np.ndarray]):
         return timm_vit_to_flax(sd), False  # raw timm ViT
     if "wpe.weight" in keys:
         return gpt2_to_flax(sd), False  # raw HF GPT2Model
+    if "conv1_7x7_s2.weight" in keys:
+        return bninception_to_flax(sd), False  # pretrainedmodels BNInception
+    if any("rolling_lstm" in k for k in keys):
+        return rulstm_to_flax(sd), False  # original RULSTM .pth
+    if "stem.0.weight" in keys or "_feature_blocks.stem.0.weight" in keys:
+        return video_resnet_to_flax(sd), False  # torchvision/VISSL video resnet
     if "weight" in keys and keys <= {"weight", "bias"}:
         p: Dict = {"fc": {"kernel": _t(sd["weight"])}}  # bare nn.Linear
         if "bias" in sd:
@@ -299,28 +477,55 @@ def init_from_model(params: Dict, specs, loader=load_torch_state_dict) -> Dict:
                 f"init_from_model: nothing converted from {path} "
                 f"(spec module={module!r})"
             )
-        inner = new_params["params"] if "params" in new_params else new_params
-        if module:
-            flax_name = _module_to_flax_name(module)
-            if flax_name not in inner:
-                raise KeyError(
-                    f"init_from_model: module {module!r} (flax "
-                    f"{flax_name!r}) not in model params {sorted(inner)}"
-                )
-            sub = (
-                converted.get(flax_name, converted) if is_full_tree
-                else converted
-            )
-            merged = dict(inner)
-            merged[flax_name] = merge_params(inner[flax_name], sub)
+        # conv-backbone converters return per-collection trees (BatchNorm
+        # running stats live in 'batch_stats', not 'params')
+        if (
+            isinstance(converted, Mapping)
+            and "params" in converted
+            and set(converted) <= {"params", "batch_stats"}
+        ):
+            collections = dict(converted)
         else:
-            if not is_full_tree:
+            collections = {"params": converted}
+        has_colls = "params" in new_params
+        for coll, ctree in collections.items():
+            if has_colls:
+                inner = new_params.get(coll)
+                if inner is None:
+                    raise KeyError(
+                        f"init_from_model: checkpoint {path} carries a "
+                        f"{coll!r} collection but the model has none (is the "
+                        f"backbone BatchNorm-free?)"
+                    )
+            elif coll == "params":
+                inner = new_params
+            else:
                 raise ValueError(
-                    f"init_from_model: {path} is a module-level checkpoint; "
-                    f"give the spec a module name to load it into"
+                    f"init_from_model: checkpoint {path} carries {coll!r} "
+                    f"but a bare params tree was given; pass the full "
+                    f"variables dict"
                 )
-            merged = merge_params(inner, converted)
-        new_params = (
-            {**new_params, "params": merged} if "params" in new_params else merged
-        )
+            if module:
+                flax_name = _module_to_flax_name(module)
+                if flax_name not in inner:
+                    raise KeyError(
+                        f"init_from_model: module {module!r} (flax "
+                        f"{flax_name!r}) not in model {coll} {sorted(inner)}"
+                    )
+                sub = (
+                    ctree.get(flax_name, ctree) if is_full_tree else ctree
+                )
+                merged = dict(inner)
+                merged[flax_name] = merge_params(inner[flax_name], sub)
+            else:
+                if not is_full_tree:
+                    raise ValueError(
+                        f"init_from_model: {path} is a module-level "
+                        f"checkpoint; give the spec a module name to load "
+                        f"it into"
+                    )
+                merged = merge_params(inner, ctree)
+            new_params = (
+                {**new_params, coll: merged} if has_colls else merged
+            )
     return new_params

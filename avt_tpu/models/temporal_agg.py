@@ -53,8 +53,9 @@ class RULSTMAgg(nn.Module):
     initialized from the rolling state unrolls `num_pad_feats + 1` future
     steps (the reference's zero-pad trick to match models trained with
     longer anticipation unrolls); the final unrolled hidden state is the
-    aggregated feature. Weight-compat import of original RULSTM
-    checkpoints is not supported.
+    aggregated feature. Original RULSTM .pth checkpoints import via
+    models.import_torch.rulstm_to_flax (parity-tested against a torch
+    nn.LSTM rebuild in tests/test_parity_torch.py).
     """
 
     in_features: int

@@ -38,6 +38,11 @@ class _BN(nn.Module):
         )(x)
 
 
+def _tv_midplanes(in_planes: int, planes: int) -> int:
+    """torchvision's per-block Conv2Plus1D mid-channel count."""
+    return (in_planes * planes * 3 * 3 * 3) // (in_planes * 3 * 3 + 3 * planes)
+
+
 def _conv(features, kernel, stride=1, padding=0, groups=1, name=None):
     if isinstance(stride, int):
         stride = (stride, stride, stride)
@@ -67,19 +72,31 @@ class Conv3DSimple(nn.Module):
 
 
 class Conv2Plus1D(nn.Module):
-    """(1,3,3) then (3,1,1) with a BN+ReLU between (R(2+1)D)."""
+    """(1,3,3) then (3,1,1) with a BN+ReLU between (R(2+1)D).
+
+    midplanes: explicit mid-channel count. torchvision/VMZ blocks compute
+    it ONCE per block from (block_in, planes) and pass it to both convs —
+    the convention every released r2plus1d checkpoint follows (torchvision
+    r2plus1d_18, ig65m VMZ trunks), so blocks here pass it explicitly.
+    None falls back to recomputing from this conv's own (in, out) — the
+    reference's custom maker behavior (video_classification.py:88-90),
+    which diverges from the passed value only on stage-transition convs.
+    """
 
     out_planes: int
     in_planes: int
     stride: int = 1
+    midplanes: Optional[int] = None
     bn_eps: float = 1e-3
     bn_mom: float = 0.1
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        mid = (self.in_planes * self.out_planes * 3 * 3 * 3) // (
-            self.in_planes * 3 * 3 + 3 * self.out_planes
-        )
+        mid = self.midplanes
+        if mid is None:
+            mid = (self.in_planes * self.out_planes * 3 * 3 * 3) // (
+                self.in_planes * 3 * 3 + 3 * self.out_planes
+            )
         x = _conv(mid, (1, 3, 3), (1, self.stride, self.stride),
                   (0, 1, 1), name="conv_s")(x)
         x = _BN(self.bn_eps, self.bn_mom, name="bn_mid")(x, train=train)
@@ -138,12 +155,15 @@ class BasicBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         identity = x
-        h = self._make(self.planes, x.shape[-1], self.stride, "conv1")(
+        # torchvision convention: ONE midplanes per block, from the block's
+        # (in, planes) — both convs share it (released ckpt layout)
+        mid = _tv_midplanes(x.shape[-1], self.planes)
+        h = self._make(self.planes, x.shape[-1], self.stride, mid, "conv1")(
             x, train=train
         )
         h = _BN(self.bn_eps, self.bn_mom, name="bn1")(h, train=train)
         h = nn.relu(h)
-        h = self._make(self.planes, self.planes, 1, "conv2")(h, train=train)
+        h = self._make(self.planes, self.planes, 1, mid, "conv2")(h, train=train)
         h = _BN(self.bn_eps, self.bn_mom, name="bn2")(h, train=train)
         if self.downsample:
             ds = self.conv_maker.downsample_stride(self.stride)
@@ -153,11 +173,12 @@ class BasicBlock3D(nn.Module):
             )
         return nn.relu(h + identity)
 
-    def _make(self, planes, in_planes, stride, name):
+    def _make(self, planes, in_planes, stride, midplanes, name):
         kwargs = dict(out_planes=planes, stride=stride,
                       bn_eps=self.bn_eps, bn_mom=self.bn_mom, name=name)
         if self.conv_maker is Conv2Plus1D:
             kwargs["in_planes"] = in_planes
+            kwargs["midplanes"] = midplanes
         return self.conv_maker(**kwargs)
 
 
@@ -180,6 +201,7 @@ class Bottleneck3D(nn.Module):
                       bn_eps=self.bn_eps, bn_mom=self.bn_mom, name="conv2")
         if self.conv_maker is Conv2Plus1D:
             kwargs["in_planes"] = self.planes
+            kwargs["midplanes"] = _tv_midplanes(x.shape[-1], self.planes)
         h = self.conv_maker(**kwargs)(h, train=train)
         h = _BN(self.bn_eps, self.bn_mom, name="bn2")(h, train=train)
         h = nn.relu(h)

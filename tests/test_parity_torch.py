@@ -323,3 +323,124 @@ def test_init_from_model_reference_specs(tmp_path):
             params,
             [["classifiers.action", "bogus.", str(tmp_path / "rulstm.pth")]],
         )
+
+
+class _TorchRULSTM(torch.nn.Module):
+    """Original-RULSTM-layout rolling/unrolling LSTMs (fpv-iplab/rulstm),
+    forward following the reference wrapper's selected output: roll over
+    the observed sequence, unroll num_pad+1 steps feeding the last observed
+    feature (sequence completion), take the final unrolled hidden state
+    (temporal_aggregation.py:181-201)."""
+
+    def __init__(self, C, H):
+        super().__init__()
+        self.rolling_lstm = torch.nn.LSTM(C, H, 1)
+        self.unrolling_lstm = torch.nn.LSTM(C, H, 1)
+        self.classifier = torch.nn.Linear(H, 10)  # dropped by the wrapper
+
+    @torch.no_grad()
+    def forward(self, feats, num_pad):
+        x = feats.permute(1, 0, 2)  # (T, B, C)
+        _, (h, c) = self.rolling_lstm(x)
+        ins = x[-1:].expand(num_pad + 1, -1, -1)
+        out, _ = self.unrolling_lstm(ins, (h, c))
+        return out[-1]
+
+
+@pytest.mark.parametrize("num_pad", [0, 3])
+def test_rulstm_checkpoint_import_parity(num_pad):
+    """rulstm_to_flax maps an original RULSTM .pth (both bare-LSTM and
+    OpenLSTM-nested key layouts) onto RULSTMAgg with forward parity."""
+    from avt_tpu.models.import_torch import rulstm_to_flax
+    from avt_tpu.models.temporal_agg import RULSTMAgg
+
+    C, H, B, T = 12, 16, 3, 5
+    torch.manual_seed(7)
+    ref = _TorchRULSTM(C, H).eval()
+    feats = RNG.normal(size=(B, T, C)).astype(np.float32)
+    want = ref(torch.from_numpy(feats), num_pad).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    model = RULSTMAgg(in_features=C, intermediate_featdim=H,
+                      num_pad_feats=num_pad, dropout=0.0)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    converted = rulstm_to_flax(sd)
+    merged = merge_params(init["params"], converted)
+    got, aux = model.apply({"params": merged}, jnp.asarray(feats))
+    assert aux == {}
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # OpenLSTM-style nesting resolves to the same tree. (NB chained
+    # str.replace would double-nest: 'unrolling_lstm.' contains
+    # 'rolling_lstm.'.)
+    def _nest(k):
+        for p in ("unrolling_lstm", "rolling_lstm"):
+            if k.startswith(p + "."):
+                return f"{p}.lstm.{k[len(p) + 1:]}"
+        return k
+
+    sd_nested = {_nest(k): v for k, v in sd.items()}
+    converted2 = rulstm_to_flax(sd_nested)
+    np.testing.assert_array_equal(
+        converted2["rolling"]["ii"]["kernel"],
+        converted["rolling"]["ii"]["kernel"],
+    )
+
+
+def test_init_from_model_rulstm_05_specs(tmp_path):
+    """The expts/05 init grammar end-to-end: [[temporal_aggregator, ckpt]]
+    loads the original RULSTM rolling/unrolling LSTMs via rulstm_to_flax,
+    and [[classifiers.action, classifier.1., ckpt]] loads the stripped
+    classifier — from ONE .pth.tar with a 'state_dict' wrapper (the
+    RULSTM release format)."""
+    from avt_tpu.models import (
+        AVTModel,
+        IdentityBackbone,
+        IdentityFuture,
+        LinearClassifier,
+    )
+    from avt_tpu.models.import_torch import init_from_model
+    from avt_tpu.models.temporal_agg import RULSTMAgg
+
+    C, H, n_cls = 12, 16, 10  # matches _TorchRULSTM's classifier width
+    torch.manual_seed(9)
+    ref = _TorchRULSTM(C, H)
+    sd = {f"{k}": v for k, v in ref.state_dict().items()}
+    # RULSTM releases use classifier.1 (Dropout, Linear) — rename
+    sd["classifier.1.weight"] = sd.pop("classifier.weight")
+    sd["classifier.1.bias"] = sd.pop("classifier.bias")
+    path = str(tmp_path / "RULSTM-anticipation_rgb_best.pth.tar")
+    torch.save({"state_dict": sd}, path)
+
+    from avt_tpu.models import IdentityAgg
+
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=RULSTMAgg(in_features=C, intermediate_featdim=H,
+                                      num_pad_feats=3, dropout=0.0),
+        future_predictor=IdentityFuture(in_features=H),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=H),
+        classifiers={"action": LinearClassifier(out_features=n_cls)},
+        num_classes=(("action", n_cls),),
+        backbone_dim=C,
+        temp_agg_output_dim=H,
+    )
+    video = jnp.asarray(RNG.normal(size=(2, 1, C, 5, 1, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+    new = init_from_model(
+        params,
+        [["temporal_aggregator", path],
+         ["classifiers.action", "classifier.1.", path]],
+    )
+    got = new["params"]["temporal_aggregator"]["rolling"]["ii"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(got),
+        sd["rolling_lstm.weight_ih_l0"].numpy()[:H].T, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["classifiers_action"]["fc"]["kernel"]),
+        sd["classifier.1.weight"].numpy().T, rtol=1e-6,
+    )
+    # forward runs with the imported weights
+    outputs, _ = model.apply(new, video)
+    assert outputs["logits/action"].shape == (2, n_cls)
