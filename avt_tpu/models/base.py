@@ -16,9 +16,10 @@ Replication quirks kept on purpose (they are what the reference trained):
   * linear layers outside the GPT core init to N(0, 0.01), bias 0
     (base_model.py:110-127); the GPT core keeps its own 0.02 init.
 
-Multi-crop eval (video with a #crops dim) runs forward_singlecrop per crop
-and averages outputs and losses (an unrolled loop: crop count is a small
-static 1/3/6, so XLA sees one fused program either way).
+Multi-crop eval (video with a #crops dim) batches all crops into ONE
+forward (crop-major on the batch dim) and averages outputs/losses per crop
+afterwards — numerically the reference's per-crop loop, but with 3-6x
+bigger matmuls for the MXU.
 """
 from __future__ import annotations
 
@@ -200,27 +201,41 @@ class AVTModel(nn.Module):
     def __call__(self, video, target_shape=None, *, train: bool = False):
         """video: (B, #clips, C, T, H, W) or (B, #clips, #crops, C, T, H, W).
 
-        Multi-crop inputs run the single-crop forward per crop; outputs and
-        losses are averaged over crops (base_model.py:240-273).
+        Multi-crop inputs batch the crops into ONE forward (crops stacked
+        crop-major onto the batch dim) and average the outputs/losses per
+        crop afterwards — same math as the reference's per-crop loop
+        (base_model.py:240-273) but with 3-6x bigger matmuls, which is what
+        the MXU wants at eval batch sizes. Scalar aux losses come out of
+        the stacked batch already crop-averaged (mean over crops of means
+        == mean over the concatenated batch).
         """
         if video.ndim == 6:
-            crops = [video]
-        elif video.ndim == 7 and video.shape[2] == 1:
-            crops = [video[:, :, 0]]
-        elif video.ndim == 7:
-            crops = [video[:, :, i] for i in range(video.shape[2])]
-        else:
+            return self.forward_singlecrop(video, target_shape, train=train)
+        if video.ndim == 7 and video.shape[2] == 1:
+            return self.forward_singlecrop(
+                video[:, :, 0], target_shape, train=train
+            )
+        if video.ndim != 7:
             raise NotImplementedError(f"Unsupported video shape {video.shape}")
-        feats_losses = [
-            self.forward_singlecrop(v, target_shape, train=train) for v in crops
-        ]
-        feats, losses = zip(*feats_losses)
-        feats = {
-            k: jnp.mean(jnp.stack([d[k] for d in feats]), axis=0)
-            for k in feats[0]
-        }
-        losses = {
-            k: jnp.mean(jnp.stack([d[k] for d in losses]), axis=0)
-            for k in losses[0]
-        }
-        return feats, losses
+        B, num_clips, n = video.shape[:3]
+        stacked = jnp.concatenate(
+            [video[:, :, i] for i in range(n)], axis=0
+        )  # (n*B, #clips, C, T, H, W), crop-major
+        outputs, losses = self.forward_singlecrop(
+            stacked, target_shape, train=train
+        )
+
+        # leading dims that carry the crop factor: n*B (most endpoints) or
+        # n*B*num_clips (pre-aggregation endpoints like 'backbone')
+        crop_leading = (n * B, n * B * num_clips)
+
+        def avg(v):
+            if v.ndim >= 1 and v.shape[0] in crop_leading:
+                return jnp.mean(
+                    v.reshape((n, v.shape[0] // n) + v.shape[1:]), axis=0
+                )
+            return v
+
+        outputs = {k: avg(v) for k, v in outputs.items()}
+        losses = {k: avg(v) for k, v in losses.items()}
+        return outputs, losses
