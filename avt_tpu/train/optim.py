@@ -206,6 +206,7 @@ def warmup_schedule(
     warmup_epochs: int,
     iters_per_epoch: int,
     init_lr_ratio: float = 0.0,
+    affine_floor: float = 0.0,
 ) -> Schedule:
     """Warmup wrapper (common/scheduler.py:88-136).
 
@@ -216,17 +217,31 @@ def warmup_schedule(
 
     Reference quirk replicated: torch's recursive scheduler chaining makes
     the base schedule continue RELATIVE to the last warmup LR — which is
-    base_lr * (r + (1-r)(W-1)/W), never quite base_lr — so the whole
-    post-warmup schedule is scaled by that factor (verified against torch).
+    base_lr * (r + (1-r)(W-1)/W), never quite base_lr — so the post-warmup
+    schedule is transformed AROUND the recursion's fixed point
+    `affine_floor` (eta_min for cosine; 0 for multiplicative schedules):
+    torch's recursion lr_{t+1} = ratio*(lr_t - eta_min) + eta_min seeds from
+    the last warmup LR, giving lr_t = eta + (lwf*base_lr - eta) * shape(t),
+    i.e. an affine factor s = (lwf*base_lr - eta)/(base_lr - eta) on the
+    (base - eta) excess. Verified step-for-step against the reference
+    Warmup(CosineLR) in tests/test_diff_reference.py.
     """
     w = max(warmup_epochs * iters_per_epoch, 1)
     r = init_lr_ratio if w > 1 else 1.0
     last_warmup_factor = r + (1 - r) * (w - 1) / w
+    denom = base_lr - affine_floor
+    scale = (
+        (last_warmup_factor * base_lr - affine_floor) / denom
+        if denom != 0.0 else 1.0
+    )
 
     def fn(it):
         it = jnp.asarray(it, dtype=jnp.float32)
         ramp = base_lr * (r + (1 - r) * it / w)
-        post = last_warmup_factor * base_schedule(jnp.maximum(it - (w - 1), 0))
+        base = base_schedule(jnp.maximum(it - (w - 1), 0))
+        post = affine_floor + scale * (base - affine_floor)
+        # past-T_max cosine pins lr to exactly 0 (not the affine floor)
+        post = jnp.where(base == 0.0, 0.0, post)
         return jnp.where(it < w, ramp, post)
 
     return fn
@@ -248,6 +263,7 @@ def build_schedule(
     Matches the reference composition: cosine T_max uses
     (num_epochs - warmup_epochs) via the `minus` resolver in its config.
     """
+    affine_floor = 0.0
     if name == "cosine":
         base = cosine_schedule(
             base_lr,
@@ -256,6 +272,7 @@ def build_schedule(
             eta_min=kwargs.get("eta_min", 0.0),
             world_size=world_size,
         )
+        affine_floor = kwargs.get("eta_min", 0.0) * world_size
     elif name == "warmup_multi_step":
         base = multistep_schedule(
             base_lr,
@@ -275,7 +292,8 @@ def build_schedule(
     else:
         raise NotImplementedError(f"Unknown scheduler {name!r}")
     return warmup_schedule(
-        base, base_lr, warmup_epochs, iters_per_epoch, warmup_init_lr_ratio
+        base, base_lr, warmup_epochs, iters_per_epoch, warmup_init_lr_ratio,
+        affine_floor=affine_floor,
     )
 
 

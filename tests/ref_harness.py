@@ -1,0 +1,158 @@
+"""Import harness for the upstream reference at /root/reference.
+
+The reference is pure torch + pandas, but its modules import several
+packages that are absent in this environment (hydra, omegaconf, submitit,
+torchvision, lmdb, timm).  This module installs *minimal* stand-ins into
+``sys.modules`` — just enough surface for the reference modules under test
+to import and run — then puts /root/reference on sys.path so tests can do
+
+    ref_sched = ref_harness.import_ref("common.scheduler")
+
+and compare avt_tpu outputs against the genuine reference implementation.
+
+The stubs deliberately implement only what the reference call sites use:
+  * hydra.utils.instantiate / hydra.utils.call resolving `_target_` dotted
+    paths (hydra 1.1 semantics used at e.g. func/train_eval_ops.py:98,
+    models/future_prediction.py:102)
+  * hydra.types.TargetConf (a type annotation only)
+  * omegaconf.OmegaConf.get_type (datasets/base_video_dataset.py:363,411)
+  * torchvision.set_video_backend no-op + transforms.Compose annotation
+    (datasets/base_video_dataset.py:38,284)
+  * submitit.JobEnvironment raising RuntimeError outside a job
+    (common/utils.py:115-118 catches exactly that)
+  * lmdb -> tests/_fake_lmdb.py (a real read-only implementation, shared
+    with the avt_tpu LMDB reader tests)
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _resolve_target(target: str):
+    mod, _, name = target.rpartition(".")
+    return getattr(importlib.import_module(mod), name)
+
+
+def _make_hydra_stub():
+    hydra = types.ModuleType("hydra")
+    hydra_types = types.ModuleType("hydra.types")
+    hydra_types.TargetConf = dict
+    hydra_utils = types.ModuleType("hydra.utils")
+
+    def instantiate(cfg, *args, **kwargs):
+        if cfg is None:
+            return None
+        cfg = dict(cfg)
+        target = cfg.pop("_target_")
+        cfg.pop("_recursive_", None)
+        cfg.update(kwargs)
+        return _resolve_target(target)(*args, **cfg)
+
+    hydra_utils.instantiate = instantiate
+    hydra_utils.call = instantiate
+    hydra.types = hydra_types
+    hydra.utils = hydra_utils
+    return {"hydra": hydra, "hydra.types": hydra_types, "hydra.utils": hydra_utils}
+
+
+def _make_omegaconf_stub():
+    omegaconf = types.ModuleType("omegaconf")
+
+    class OmegaConf:  # noqa: D401 - tiny stand-in
+        @staticmethod
+        def get_type(obj):
+            return type(obj)
+
+        @staticmethod
+        def to_container(obj, *a, **k):
+            return obj
+
+        @staticmethod
+        def create(obj=None):
+            return obj
+
+    omegaconf.OmegaConf = OmegaConf
+    omegaconf.DictConfig = dict
+    omegaconf.ListConfig = list
+    return {"omegaconf": omegaconf}
+
+
+def _make_torchvision_stub():
+    tv = types.ModuleType("torchvision")
+    tv.set_video_backend = lambda *a, **k: None
+    tv_transforms = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    tv_transforms.Compose = Compose
+    tv.transforms = tv_transforms
+    return {"torchvision": tv, "torchvision.transforms": tv_transforms}
+
+
+def _make_submitit_stub():
+    submitit = types.ModuleType("submitit")
+
+    class JobEnvironment:
+        def __init__(self):
+            raise RuntimeError("not inside a submitit job (stub)")
+
+    submitit.JobEnvironment = JobEnvironment
+    return {"submitit": submitit}
+
+
+def _load_fake_lmdb():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "lmdb", os.path.join(os.path.dirname(__file__), "_fake_lmdb.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def install_stubs():
+    """Idempotently install the dependency stubs and the reference path."""
+    stubs = {}
+    if "hydra" not in sys.modules:
+        stubs.update(_make_hydra_stub())
+    if "omegaconf" not in sys.modules:
+        stubs.update(_make_omegaconf_stub())
+    if "torchvision" not in sys.modules:
+        stubs.update(_make_torchvision_stub())
+    if "submitit" not in sys.modules:
+        stubs.update(_make_submitit_stub())
+    if "lmdb" not in sys.modules:
+        stubs["lmdb"] = _load_fake_lmdb()
+    # Pre-register the reference's top-level packages as namespace-only
+    # modules pointing into REF_ROOT. This (a) skips func/__init__.py, which
+    # imports func.train and drags in torchvision.datasets/tensorboard
+    # machinery we don't stub, and (b) keeps the reference's `datasets`
+    # package from colliding with HuggingFace `datasets` in site-packages.
+    for pkg in ("func", "common", "datasets", "models", "loss_fn", "notebooks"):
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [f"{REF_ROOT}/{pkg}"]
+            stubs[pkg] = mod
+    for name, mod in stubs.items():
+        if getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=hasattr(mod, "__path__"))
+    sys.modules.update(stubs)
+
+
+def import_ref(module: str):
+    """Import a reference module (e.g. 'common.scheduler') with stubs in place."""
+    install_stubs()
+    return importlib.import_module(module)
