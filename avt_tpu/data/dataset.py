@@ -60,9 +60,21 @@ class ConcatDataset:
         prev = 0 if ds_idx == 0 else int(self._offsets[ds_idx - 1])
         return self.datasets[ds_idx][idx - prev]
 
+    # Only dataset-level metadata delegates to the first dataset (the
+    # reference reads these off the train dataset after ConcatDataset,
+    # func/train.py:586-599). A catch-all __getattr__ would mask attribute
+    # typos and confuse copy/pickle protocols probing dunders.
+    _DELEGATED = (
+        "classes", "classes_manyshot", "class_mappings", "primary_metric",
+        "classes_counts", "label_type",
+    )
+
     def __getattr__(self, name):
-        # classes / classes_manyshot / class_mappings / primary_metric ...
-        return getattr(self.datasets[0], name)
+        if name in ConcatDataset._DELEGATED:
+            return getattr(self.datasets[0], name)
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
 
 
 class VideoDataset:

@@ -163,6 +163,12 @@ def get_epic_action_accuracy(
     are NaN, as in the reference)."""
     res_verb = get_logits_from_results(read_results(verb_resdir))
     res_noun = get_logits_from_results(read_results(noun_resdir))
+    if isinstance(res_verb, dict) or isinstance(res_noun, dict):
+        raise ValueError(
+            "get_epic_action_accuracy needs single-task runs; got multiple "
+            f"logits keys (verb: {sorted(res_verb) if isinstance(res_verb, dict) else 'ok'}, "
+            f"noun: {sorted(res_noun) if isinstance(res_noun, dict) else 'ok'})"
+        )
     assert (
         len(verb_dataset.df) == len(res_verb)
         == len(noun_dataset.df) == len(res_noun)
@@ -182,8 +188,21 @@ def get_epic_action_accuracy(
             f"{pfx}rec5_per_cls": rec5_per_cls,
         })
     res_action = combine_verb_noun_preds(res_verb, res_noun)
+    # stride by the noun CLASS count (reference notebooks/utils.py:430-432;
+    # its literal len(dataset_noun.classes) counts label TYPES — the
+    # obvious intent is the noun vocab size); logits columns must agree or
+    # the flat action ids would silently mis-index
+    cls = noun_dataset.classes
+    num_noun = (
+        len(cls["noun"]) if isinstance(cls, dict) and "noun" in cls
+        else res_noun.shape[1]
+    )
+    assert res_noun.shape[1] == num_noun, (
+        f"noun logits have {res_noun.shape[1]} columns but the dataset has "
+        f"{num_noun} noun classes"
+    )
     true_action = (
-        verb_dataset.df["verb_class"].values * res_noun.shape[1]
+        verb_dataset.df["verb_class"].values * num_noun
         + noun_dataset.df["noun_class"].values
     )
     atop1, atop5, arec5, atop1_meancls, arec5_per_cls = compute_accuracy(

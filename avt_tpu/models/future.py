@@ -169,6 +169,22 @@ class AVTh(nn.Module):
                 f"output_len must be >= 1 (got {output_len}); the reference "
                 "errors on <1 too (empty concat)"
             )
+        if (
+            train
+            and output_len > 1
+            and max(self.embd_pdrop, self.attn_pdrop, self.resid_pdrop) > 0
+        ):
+            # static condition -> fires once per trace, not per step
+            import warnings
+
+            warnings.warn(
+                "AVTh: training with output_len > 1 AND dropout > 0 — the "
+                "static-recompute rollout re-samples dropout masks per "
+                "rollout step, unlike the reference's KV cache which reuses "
+                "them. Expected gradients differ; set dropouts to 0 or "
+                "output_len to 1 for reference-faithful training.",
+                stacklevel=2,
+            )
 
         full_inp_feats = feats
         if self.assigner is not None:

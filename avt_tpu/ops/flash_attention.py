@@ -558,7 +558,10 @@ def _short_fwd_kernel_paired(
     aligned (T, 128) head pairs and separating heads by masking ONE matmul
     operand (zeroed lanes contribute nothing to the contraction) keeps all
     VMEM traffic tile-aligned at identical effective MXU work — measured
-    ~10% faster, bit-identical output.
+    ~10% faster. Output matches the per-head kernel to test tolerance
+    (~1e-4 rel): since the 1/l softmax normalization moved after the pv
+    matmul (a (T, W) f32 row-scale on unnormalized bf16 p), rounding
+    differs slightly from the normalize-before-matmul unpaired kernel.
     """
     G, T, C3 = qkv_ref.shape
     C = C3 // 3

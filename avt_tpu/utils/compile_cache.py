@@ -16,6 +16,19 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _intended_platform() -> str:
+    """Best-effort platform WITHOUT initializing the backend (the platform
+    choice freezes at first device query, so we must not trigger one)."""
+    try:
+        import jax
+
+        cfg = jax.config.jax_platforms
+    except Exception:
+        cfg = None
+    plat = cfg or os.environ.get("JAX_PLATFORMS") or ""
+    return plat.split(",")[0].strip() or "default"
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     """Point JAX at a persistent on-disk compilation cache.
 
@@ -23,14 +36,18 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     compilations of an already-seen HLO load from disk. AVT_TPU_NO_CACHE=1
     disables (e.g. when benchmarking compile time itself).
 
-    Note: on CPU, loading cached AOT results can log "machine feature ...
-    not supported" errors when XLA's tuning flags (+prefer-no-scatter
-    etc.) differ between the writing and reading process on the SAME
-    machine. These are warnings from an over-strict feature comparison —
-    the entry still loads and executes correctly (verified: cached and
-    uncached runs produce identical losses).
+    TPU-only: CPU processes (the virtual-mesh dryrun / tests) get NO
+    persistence. XLA:CPU cache entries are host AOT machine code whose
+    embedded feature list includes compiler tuning pseudo-features
+    (+prefer-no-scatter, ...) that a host CPU probe never reports, so
+    every reload — even same-machine — trips cpu_aot_loader's feature
+    check (SIGILL risk on a genuinely different host). Cold CPU compiles
+    of the tiny-shape dryrun are ~100 s total (measured), cheaper than the
+    risk; TPU executables are compiled server-side and host-portable.
     """
     if os.environ.get("AVT_TPU_NO_CACHE"):
+        return
+    if _intended_platform() == "cpu":
         return
     import jax
 

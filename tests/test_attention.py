@@ -229,3 +229,85 @@ def test_fused_qkv_attention_matches_split_path(causal):
         np.testing.assert_allclose(np.asarray(got) / scale,
                                    np.asarray(ref) / scale,
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_qkv_bias_attention_grads_match_autodiff(causal):
+    """(dqkv, db) from packed_qkv_bias_attention's custom vjp == autodiff of
+    the unfused composition (qkv_nobias + bias) -> attention.
+
+    This is the default TPU ViT attention path (attention.py:140-147); the
+    db gradient is produced by the in-kernel VMEM-resident reduction
+    (_short_attention_bwd_db_call), which has no other numerical test.
+    Runs the real kernel in interpret mode on CPU.
+    """
+    from avt_tpu.ops.flash_attention import packed_qkv_bias_attention
+
+    N, T, H, D = 2, 96, 4, 64  # paired geometry: D=64, even heads
+    C = H * D
+    qkv_nb = jnp.asarray(RNG.normal(size=(N, T, 3 * C)).astype(np.float32) * 0.5)
+    bias = jnp.asarray(RNG.normal(size=(3 * C,)).astype(np.float32) * 0.1)
+
+    def ref(qkv_nb, bias):
+        qkv = qkv_nb + bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = [t.reshape(N, T, H, D) for t in (q, k, v)]
+        out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+        return out.reshape(N, T, C)
+
+    o_ref, vjp_ref = jax.vjp(ref, qkv_nb, bias)
+    o_got, vjp_got = jax.vjp(
+        lambda x, b: packed_qkv_bias_attention(x, b, H, causal), qkv_nb, bias
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_got), np.asarray(o_ref), rtol=2e-4, atol=2e-4
+    )
+    g = jnp.asarray(RNG.normal(size=o_ref.shape).astype(np.float32))
+    dqkv_got, db_got = vjp_got(g)
+    dqkv_ref, db_ref = vjp_ref(g)
+    np.testing.assert_allclose(
+        np.asarray(dqkv_got), np.asarray(dqkv_ref), rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(db_got), np.asarray(db_ref), rtol=5e-4, atol=5e-4,
+        err_msg="in-kernel bias gradient",
+    )
+
+
+def test_packed_qkv_bias_attention_partitions_over_mesh():
+    """The (dqkv, db) backward partitions batch-parallel on the CPU mesh:
+    exercises _partitioned_short_bwd_db's custom_partitioning rules incl.
+    the per-shard db psum (flash_attention.py:976-990), which only this
+    path uses. Sharded grads must equal unsharded ones; db is replicated
+    (the psum makes it the global sum), dqkv stays sharded on 'data'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avt_tpu.ops.flash_attention import packed_qkv_bias_attention
+    from avt_tpu.parallel import make_mesh
+
+    N, T, H, D = 16, 64, 2, 64  # paired geometry, batch divisible by 8
+    C = H * D
+    qkv_nb = jnp.asarray(RNG.normal(size=(N, T, 3 * C)).astype(np.float32) * 0.5)
+    bias = jnp.asarray(RNG.normal(size=(3 * C,)).astype(np.float32) * 0.1)
+
+    def loss(x, b):
+        return jnp.sum(packed_qkv_bias_attention(x, b, H, False) ** 2)
+
+    f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    l_ref, (dqkv_ref, db_ref) = f(qkv_nb, bias)
+
+    mesh = make_mesh(8, 1)
+    x_sh = jax.device_put(
+        qkv_nb, NamedSharding(mesh, P("data", None, None))
+    )
+    b_sh = jax.device_put(bias, NamedSharding(mesh, P(None)))
+    l_sh, (dqkv_sh, db_sh) = f(x_sh, b_sh)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dqkv_sh), np.asarray(dqkv_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(db_sh), np.asarray(db_ref), rtol=1e-4, atol=1e-4,
+        err_msg="db psum across shards",
+    )
+    assert "data" in str(dqkv_sh.sharding.spec), dqkv_sh.sharding

@@ -134,3 +134,25 @@ def test_launcher_kill_by_pidfile(tmp_path, monkeypatch):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_concat_dataset_unknown_attribute_raises(tmp_path):
+    """Delegation is a metadata whitelist, not a catch-all: attribute typos
+    must raise instead of silently resolving on datasets[0]."""
+    import pytest as _pytest
+
+    arr = np.tile(np.arange(1, 3001, dtype=np.float32)[:, None], (1, 4))
+    np.save(tmp_path / "V00.npy", arr)
+    ds = VideoDataset(
+        _df(3, "V00.MP4"), root=str(tmp_path), frames_per_clip=4,
+        frame_rate=1.0,
+        reader=NpyFeatsReader(str(tmp_path), read_type="normal"),
+        label_type=["action"], sample_strategy="last_clip",
+        action_classes={"a": 0, "b": 1},
+    )
+    cat = ConcatDataset([ds])
+    assert cat.primary_metric == ds.primary_metric
+    with _pytest.raises(AttributeError):
+        cat.primry_metric  # noqa: B018 - typo on purpose
+    with _pytest.raises(AttributeError):
+        cat.df  # noqa: B018 - exists on the child but is not metadata

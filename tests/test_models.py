@@ -328,16 +328,87 @@ def test_vit_gelu_policy_and_bf16_consistency():
 
 
 def test_enable_compile_cache(tmp_path, monkeypatch):
-    """enable_compile_cache points JAX at a persistent dir; AVT_TPU_NO_CACHE
-    disables it (utils/compile_cache.py)."""
-    from avt_tpu.utils import enable_compile_cache
-
-    target = str(tmp_path / "cache")
-    enable_compile_cache(target)
-    assert jax.config.jax_compilation_cache_dir == target
+    """enable_compile_cache persists on TPU, is a hard no-op on the CPU
+    backend (XLA:CPU AOT entries trip cpu_aot_loader's host-feature check
+    on every reload), and AVT_TPU_NO_CACHE disables it everywhere
+    (utils/compile_cache.py)."""
     import os as _os
 
-    assert _os.path.isdir(target)
-    monkeypatch.setenv("AVT_TPU_NO_CACHE", "1")
-    enable_compile_cache(str(tmp_path / "other"))  # no-op when disabled
-    assert jax.config.jax_compilation_cache_dir == target
+    import avt_tpu.utils.compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # tests run on the CPU backend: must be a no-op, no dir created
+        target = str(tmp_path / "cpu_cache")
+        cc.enable_compile_cache(target)
+        assert jax.config.jax_compilation_cache_dir == prev
+        assert not _os.path.exists(target)
+
+        # TPU (or any non-cpu platform): persists at the given dir
+        monkeypatch.setattr(cc, "_intended_platform", lambda: "tpu")
+        target = str(tmp_path / "tpu_cache")
+        cc.enable_compile_cache(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        assert _os.path.isdir(target)
+
+        monkeypatch.setenv("AVT_TPU_NO_CACHE", "1")
+        cc.enable_compile_cache(str(tmp_path / "other"))  # disabled: no-op
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_avth_warns_on_rollout_under_dropout():
+    """Training with output_len>1 AND dropout>0 must warn loudly: the
+    static-recompute rollout re-samples dropout per step, unlike the
+    reference's KV cache (documented delta, models/future.py)."""
+    import warnings
+
+    model = _avth(output_len=2, return_past_too=False, avg_last_n=-1,
+                  attn_pdrop=0.1)
+    feats = jnp.asarray(RNG.normal(size=(1, 4, 1024)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats)
+    with pytest.warns(UserWarning, match="re-samples dropout"):
+        model.apply(params, feats, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    # no warning in the shipped configs (output_len == 1)
+    model1 = _avth(attn_pdrop=0.1)
+    params1 = model1.init(jax.random.PRNGKey(0), feats)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        model1.apply(params1, feats, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def test_avt_model_multicrop_batched_matches_per_crop_full():
+    """The batched-crop forward (crops stacked into the batch dim,
+    models/base.py __call__) equals the per-crop loop on EVERY endpoint
+    and per-sample aux loss, incl. subclips + AVT-h feat loss."""
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=1024),
+        future_predictor=_avth(inter_dim=128, n_layer=2, n_head=4),
+        temporal_aggregator_after_future_pred=_IdentityAfterAgg(in_features=1024),
+        classifiers={"action": LinearClassifier(out_features=7)},
+        num_classes=(("action", 7),),
+        backbone_dim=1024,
+        classifier_on_past=True,
+    )
+    B, clips, crops = 2, 4, 3
+    video = jnp.asarray(
+        RNG.normal(size=(B, clips, crops, 1024, 1, 1, 1)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), video, (B,))
+    outputs, aux = model.apply(params, video, (B,))
+    per = [model.apply(params, video[:, :, i], (B,)) for i in range(crops)]
+    for key in outputs:
+        want = np.mean([np.asarray(p[0][key]) for p in per], axis=0)
+        np.testing.assert_allclose(
+            np.asarray(outputs[key]), want, rtol=1e-5, atol=1e-5,
+            err_msg=f"endpoint {key}",
+        )
+    assert aux["feat"].shape == (B, clips - 1, 1024)
+    want_feat = np.mean([np.asarray(p[1]["feat"]) for p in per], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(aux["feat"]), want_feat, rtol=1e-5, atol=1e-5
+    )

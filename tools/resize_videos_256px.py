@@ -100,8 +100,18 @@ def main(argv=None) -> int:
             )
             for v in vids
         ]
+        # one corrupt video must not abort the whole (hours-long) batch:
+        # report per-file failures and keep converting, fail only at exit
+        nfail = 0
         for f in cf.as_completed(futs):
-            print(f.result(), flush=True)
+            try:
+                print(f.result(), flush=True)
+            except Exception as e:  # noqa: BLE001 - ffmpeg/cv2/OS errors alike
+                nfail += 1
+                print(f"FAILED: {e}", file=sys.stderr, flush=True)
+    if nfail:
+        print(f"{nfail}/{len(vids)} conversions failed", file=sys.stderr)
+        return 1
     return 0
 
 
