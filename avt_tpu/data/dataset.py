@@ -394,6 +394,14 @@ class VideoDataset:
                     self.sample_strategy_future,
                 )
                 fvid = self._apply_vid_transform(fvid)
+                # DELIBERATE delta vs the reference: base_video_dataset.py
+                # :670-683 stores future clips RAW (C,T,H,W) while the main
+                # video gets a leading #clips dim (:793), so its latent SSL
+                # path (func/train_eval_ops.py:185-192) would torch.cat
+                # tensors of different rank and crash — no shipped expt
+                # config exercises it. Folding futures through the same
+                # subclip tiling keeps the obs+future concat in
+                # train/step.py:make_ssl_train_step shape-consistent.
                 if self.subclips_options:
                     fvid = self._get_subclips(fvid, **self.subclips_options)
                 out[f"{FUTURE_PREFIX}_{i}_video"] = fvid
