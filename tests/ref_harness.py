@@ -152,7 +152,72 @@ def install_stubs():
     sys.modules.update(stubs)
 
 
+def install_notebook_stubs():
+    """Extra stand-ins for notebooks/utils.py (reference offline analysis).
+
+    h5py/scipy/matplotlib/seaborn/tqdm are real in this env; what's missing:
+      * moviepy.editor / proglog (video rendering; only touched inside
+        functions we don't call — except proglog.notebook() at import)
+      * launch.subselect_dict_keys_diff (reference launch.py imports its
+        full hydra/submitit stack; only summarize_results needs it)
+      * external.rulstm.RULSTM.utils.topk_recall — the RULSTM submodule is
+        NOT vendored in the reference checkout. We plug in avt_tpu's own
+        topk_recall, so differential tests of compute_accuracy exercise the
+        reference's class-selection/nan plumbing around a shared AR5 core
+        (the core itself is pinned separately in test_analysis).
+      * hydra.experimental.{initialize,compose} (import-time only)
+    """
+    install_stubs()
+    stubs = {}
+    if "moviepy" not in sys.modules:
+        moviepy = types.ModuleType("moviepy")
+        editor = types.ModuleType("moviepy.editor")
+        moviepy.editor = editor
+        stubs.update({"moviepy": moviepy, "moviepy.editor": editor})
+    if "proglog" not in sys.modules:
+        proglog = types.ModuleType("proglog")
+        proglog.notebook = lambda *a, **k: None
+        stubs["proglog"] = proglog
+    if "launch" not in sys.modules:
+        launch = types.ModuleType("launch")
+        launch.subselect_dict_keys_diff = lambda run_id_param_dicts: [
+            {} for _ in run_id_param_dicts
+        ]
+        stubs["launch"] = launch
+    if "external.rulstm.RULSTM.utils" not in sys.modules:
+        from avt_tpu.evaluate.metrics import topk_recall
+
+        mods = {}
+        for name in ("external", "external.rulstm", "external.rulstm.RULSTM"):
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            mods[name] = mod
+        utils_mod = types.ModuleType("external.rulstm.RULSTM.utils")
+        utils_mod.topk_recall = topk_recall
+        mods["external.rulstm.RULSTM.utils"] = utils_mod
+        stubs.update(mods)
+    hydra = sys.modules["hydra"]
+    if not hasattr(hydra, "experimental"):
+        exp = types.ModuleType("hydra.experimental")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("hydra.experimental stub: not runnable here")
+
+        exp.initialize = _unavailable
+        exp.compose = _unavailable
+        hydra.experimental = exp
+        stubs["hydra.experimental"] = exp
+    for name, mod in stubs.items():
+        if getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(
+                name, None, is_package=hasattr(mod, "__path__")
+            )
+    sys.modules.update(stubs)
+
+
 def import_ref(module: str):
     """Import a reference module (e.g. 'common.scheduler') with stubs in place."""
     install_stubs()
+    if module.startswith("notebooks"):
+        install_notebook_stubs()
     return importlib.import_module(module)
