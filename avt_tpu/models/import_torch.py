@@ -295,6 +295,65 @@ def rulstm_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
     }
 
 
+def transformer_agg_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
+    """torch temporal_aggregation.Transformer (reference
+    temporal_aggregation.py:73-147: Linear downproject + PositionalEncoding
+    + nn.TransformerEncoder + final LayerNorm) -> TransformerAgg params.
+
+    torch MultiheadAttention packs q/k/v as a stacked (3E, E)
+    in_proj_weight; transposed it is exactly our fused qkv Dense kernel
+    (E, 3E) with the same contiguous per-head split.
+    """
+    p: Dict = {}
+    _set(p, "downproject/kernel", _t(sd["downproject.weight"]))
+    _set(p, "downproject/bias", sd["downproject.bias"])
+    _set(p, "norm/scale", sd["transformer_encoder.norm.weight"])
+    _set(p, "norm/bias", sd["transformer_encoder.norm.bias"])
+    i = 0
+    while f"transformer_encoder.layers.{i}.self_attn.in_proj_weight" in sd:
+        base = f"transformer_encoder.layers.{i}"
+        for src, dst in (
+            (f"{base}.self_attn.in_proj_weight", f"layer_{i}/attn/qkv/kernel"),
+            (f"{base}.self_attn.out_proj.weight", f"layer_{i}/attn/proj/kernel"),
+            (f"{base}.linear1.weight", f"layer_{i}/ffn_fc/kernel"),
+            (f"{base}.linear2.weight", f"layer_{i}/ffn_proj/kernel"),
+        ):
+            _set(p, dst, _t(sd[src]))
+        for src, dst in (
+            (f"{base}.self_attn.in_proj_bias", f"layer_{i}/attn/qkv/bias"),
+            (f"{base}.self_attn.out_proj.bias", f"layer_{i}/attn/proj/bias"),
+            (f"{base}.linear1.bias", f"layer_{i}/ffn_fc/bias"),
+            (f"{base}.linear2.bias", f"layer_{i}/ffn_proj/bias"),
+            (f"{base}.norm1.weight", f"layer_{i}/ln_1/scale"),
+            (f"{base}.norm1.bias", f"layer_{i}/ln_1/bias"),
+            (f"{base}.norm2.weight", f"layer_{i}/ln_2/scale"),
+            (f"{base}.norm2.bias", f"layer_{i}/ln_2/bias"),
+        ):
+            _set(p, dst, sd[src])
+        i += 1
+    if "extra_embeddings.weight" in sd:
+        # [MASK] embedding: torch nn.Embedding(1, C) -> (1, 1, C) param
+        _set(p, "mask_embed",
+             np.asarray(sd["extra_embeddings.weight"])[None])
+    return p
+
+
+def _temporal_agg_subtree(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    """Convert a temporal_aggregator.* / ..._after_future_pred.* subtree:
+    Transformer and RULSTM layouts carry params; Identity/Mean carry none."""
+    sub = {
+        k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+    if not sub:
+        return {}
+    if "downproject.weight" in sub:
+        return transformer_agg_to_flax(sub)
+    if any("rolling_lstm" in k for k in sub):
+        return rulstm_to_flax(sub)
+    LOG.warning("Unrecognized %s layout: %s", prefix, sorted(sub)[:5])
+    return {}
+
+
 # ------------------------------------------------------------ AVT model
 def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
     """Full reference BaseModel state_dict -> AVTModel params subtree."""
@@ -344,9 +403,15 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
         if f"{src}.weight" in sd:
             _set(p, f"{dst}/kernel", _t(sd[f"{src}.weight"]))
             _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+    for agg_name in ("temporal_aggregator",
+                     "temporal_aggregator_after_future_pred"):
+        agg = _temporal_agg_subtree(sd, agg_name + ".")
+        if agg:
+            p[agg_name] = agg
     handled = {
         "backbone", "future_predictor", "classifiers", "mapper_to_inter",
-        "reset_temp_agg_feat_dim", "project_mlp",
+        "reset_temp_agg_feat_dim", "project_mlp", "temporal_aggregator",
+        "temporal_aggregator_after_future_pred",
     }
     leftovers = sorted(
         {k.split(".")[0] for k in sd} - handled - {"cls_map_verb_action",
@@ -355,8 +420,7 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
     if leftovers:
         LOG.warning(
             "avt_checkpoint_to_flax: no conversion for module(s) %s — "
-            "they keep the model's init (project_mlp/temporal_aggregator "
-            "weights have no torch->flax mapping yet)", leftovers,
+            "they keep the model's init", leftovers,
         )
     return p
 

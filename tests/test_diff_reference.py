@@ -363,6 +363,50 @@ def test_avth_vs_reference(output_len, avg_last_n, return_past):
     )
 
 
+# ------------------------------------------- Transformer temporal aggregator
+@pytest.mark.parametrize("agg_style", ["mean", "last"])
+def test_transformer_agg_vs_reference(agg_style):
+    """TransformerAgg vs the reference temporal_aggregation.Transformer
+    (temporal_aggregation.py:73-147) with CONVERTED torch weights: pins the
+    sincos positional encoding, the packed-qkv attention layout, the
+    post-LN encoder-layer semantics, the final encoder LayerNorm, and the
+    mean/last aggregation — eval mode (cloze masking is train-only rng)."""
+    import jax
+    from avt_tpu.models.import_torch import merge_params, transformer_agg_to_flax
+    from avt_tpu.models.temporal_agg import TransformerAgg
+
+    ref_ta = ref_harness.import_ref("models.temporal_aggregation")
+    in_features, inter, heads, layers = 20, 16, 4, 2
+    torch.manual_seed(7)
+    ref = ref_ta.Transformer(
+        in_features, inter_rep=inter, nheads=heads, nlayers=layers,
+        agg_style=agg_style, cloze_loss_ratio=0.2, cloze_loss_wt=1.0,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    converted = transformer_agg_to_flax(sd)
+
+    model = TransformerAgg(
+        in_features=in_features, inter_rep=inter, nheads=heads,
+        nlayers=layers, agg_style=agg_style,
+        cloze_loss_ratio=0.2, cloze_loss_wt=1.0,
+    )
+    feats = RNG.normal(size=(3, 9, in_features)).astype(np.float32)
+    # init train=True so the [MASK] embedding param exists for merging
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "cloze": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        jnp.asarray(feats), train=True,
+    )
+    merged = merge_params(init["params"], converted)
+    got, got_aux = model.apply({"params": merged}, jnp.asarray(feats))
+    with torch.no_grad():
+        want, want_aux = ref(torch.from_numpy(feats))
+    assert got_aux == {} and want_aux == {}
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
 # -------------------------------------------------- annotation window math
 def _annotations_df():
     n = 40
