@@ -29,7 +29,13 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
-        return float(np.median(self.deque)) if self.deque else 0.0
+        if not self.deque:
+            return 0.0
+        # torch.median picks the LOWER middle element on even-length
+        # windows (unlike np.median's midpoint average) — keep the
+        # reference's logged values exactly (common/log.py:56-58)
+        vals = sorted(self.deque)
+        return float(vals[(len(vals) - 1) // 2])
 
     @property
     def avg(self) -> float:
@@ -37,7 +43,12 @@ class SmoothedValue:
 
     @property
     def global_avg(self) -> float:
-        return self.total / max(self.count, 1)
+        # reference divides by count + 1e-6 (common/log.py:16,65-67)
+        return self.total / (self.count + 1e-6)
+
+    @property
+    def max(self) -> float:
+        return max(self.deque) if self.deque else 0.0
 
     @property
     def value(self) -> float:
@@ -46,7 +57,7 @@ class SmoothedValue:
     def __str__(self):
         return self.fmt.format(
             median=self.median, avg=self.avg,
-            global_avg=self.global_avg, value=self.value,
+            global_avg=self.global_avg, max=self.max, value=self.value,
         )
 
 

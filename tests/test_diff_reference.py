@@ -363,6 +363,56 @@ def test_avth_vs_reference(output_len, avg_last_n, return_past):
     )
 
 
+# ----------------------------------------------- meters + in-loop accuracy
+def test_smoothed_value_vs_reference():
+    """SmoothedValue trace parity vs common/log.py:19-83: median is torch's
+    lower-middle (not numpy's midpoint), global_avg divides by count+1e-6."""
+    ref_log = ref_harness.import_ref("common.log")
+    theirs = ref_log.SmoothedValue(window_size=4)
+    from avt_tpu.train.meters import SmoothedValue
+
+    ours = SmoothedValue(window_size=4)
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    for i, v in enumerate(vals):
+        theirs.update(v, n=i % 2 + 1)
+        ours.update(v, n=i % 2 + 1)
+        assert ours.median == pytest.approx(theirs.median), f"step {i}"
+        assert ours.avg == pytest.approx(theirs.avg, rel=1e-6), f"step {i}"
+        assert ours.global_avg == pytest.approx(theirs.global_avg), f"step {i}"
+        assert ours.max == theirs.max and ours.value == theirs.value
+    assert str(ours) == str(theirs)
+
+
+@pytest.mark.parametrize("case", ["flat", "dense3d", "all_ignored", "some_ignored"])
+def test_inloop_accuracy_vs_reference(case):
+    """Train-loop top-k meter vs common/utils.py:17-44 `accuracy` — incl.
+    the all-negative short-circuit and -1 targets counted in the
+    denominator (they never match)."""
+    ref_utils = ref_harness.import_ref("common.utils")
+    from avt_tpu.utils.metrics import topk_accuracy
+
+    if case == "flat":
+        logits = RNG.normal(size=(16, 12)).astype(np.float32)
+        targets = RNG.integers(0, 12, size=16)
+    elif case == "dense3d":
+        logits = RNG.normal(size=(4, 5, 12)).astype(np.float32)
+        targets = RNG.integers(0, 12, size=(4, 5))
+    elif case == "all_ignored":
+        logits = RNG.normal(size=(8, 12)).astype(np.float32)
+        targets = -np.ones((8,), dtype=np.int64)
+    else:
+        logits = RNG.normal(size=(16, 12)).astype(np.float32)
+        targets = RNG.integers(0, 12, size=16)
+        targets[::3] = -1
+    want = ref_utils.accuracy(
+        torch.from_numpy(logits), torch.from_numpy(np.asarray(targets)),
+        topk=(1, 5),
+    )
+    got = topk_accuracy(jnp.asarray(logits), jnp.asarray(targets), topk=(1, 5))
+    for g, w in zip(got, want):
+        assert float(g) == pytest.approx(float(w), rel=1e-5), case
+
+
 # ------------------------------------------- Transformer temporal aggregator
 @pytest.mark.parametrize("agg_style", ["mean", "last"])
 def test_transformer_agg_vs_reference(agg_style):
