@@ -24,6 +24,112 @@ def load_centroids(fpath: str) -> np.ndarray:
     return np.asarray(obj)
 
 
+def kmeans_fit(
+    feats: np.ndarray,
+    k: int,
+    iters: int = 50,
+    seed: int = 0,
+    norm: bool = False,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Lloyd's k-means on (N, C) features -> (k, C) centroids.
+
+    TPU-native replacement for the offline faiss clustering the reference
+    assumed for its quantized AVT-h inputs (common/cluster.py loads the
+    resulting centroid files; the clustering step itself is not in its
+    repo). Device-resident: features transfer to HBM ONCE (padded to a
+    chunk multiple), then k-means++ seeding and every Lloyd iteration run
+    as jitted device programs — the (chunk, C) @ (C, k) distance matmuls
+    are MXU work, the per-cluster reduction is a segment_sum, and only
+    (k, C) centroids cross the host boundary per iteration. Empty
+    clusters reseed to the point farthest from its centroid.
+    """
+    feats = np.ascontiguousarray(feats, dtype=np.float32)
+    n, c = feats.shape
+    assert k <= n, f"k={k} > n={n}"
+    rng = np.random.default_rng(seed)
+
+    chunk = min(chunk, max(n, 1))
+    n_pad = (-n) % chunk
+    fdev = jnp.asarray(
+        np.concatenate([feats, np.zeros((n_pad, c), np.float32)])
+        if n_pad else feats
+    ).reshape(-1, chunk, c)  # (m, chunk, C), device-resident
+    valid = jnp.asarray(
+        (np.arange(n + n_pad) < n).astype(np.float32)
+    ).reshape(-1, chunk)
+    if norm:
+        fdev = fdev / jnp.maximum(
+            jnp.linalg.norm(fdev, axis=-1, keepdims=True), 1e-12
+        )
+
+    # ---- k-means++ seeding on a device-resident subsample
+    sub_n = int(min(n, max(k * 64, 4096)))
+    sub = jnp.asarray(feats[rng.choice(n, size=sub_n, replace=False)])
+    if norm:
+        sub = sub / jnp.maximum(
+            jnp.linalg.norm(sub, axis=-1, keepdims=True), 1e-12
+        )
+
+    @jax.jit
+    def _seed_plus_plus(sub, key):
+        first = jax.random.randint(key, (), 0, sub.shape[0])
+        centers0 = jnp.zeros((k, c), jnp.float32).at[0].set(sub[first])
+        d2 = jnp.sum((sub - sub[first]) ** 2, axis=-1)
+
+        def body(i, carry):
+            centers, d2, key = carry
+            key, sk = jax.random.split(key)
+            idx = jax.random.categorical(sk, jnp.log(jnp.maximum(d2, 1e-30)))
+            nxt = sub[idx]
+            centers = centers.at[i].set(nxt)
+            d2 = jnp.minimum(d2, jnp.sum((sub - nxt) ** 2, axis=-1))
+            return centers, d2, key
+
+        centers, _, _ = jax.lax.fori_loop(
+            1, k, body, (centers0, d2, key)
+        )
+        return centers
+
+    cents = _seed_plus_plus(sub, jax.random.PRNGKey(seed))
+
+    # ---- one jitted Lloyd iteration over all chunks (lax.map keeps the
+    # per-chunk working set in VMEM-friendly tiles; padded rows carry
+    # weight 0 and dmin -inf so they never move a centroid or get reseeded)
+    @jax.jit
+    def lloyd(fdev, valid, cents):
+        def per_chunk(args):
+            fchunk, w = args
+            d = jnp.sum(cents**2, axis=-1)[None] - 2.0 * fchunk @ cents.T
+            lab = jnp.argmin(d, axis=-1)
+            fw = fchunk * w[:, None]
+            sums = jax.ops.segment_sum(fw, lab, num_segments=k)
+            counts = jax.ops.segment_sum(w, lab, num_segments=k)
+            dmin = jnp.where(w > 0, jnp.min(d, axis=-1), -jnp.inf)
+            # farthest VALID point in this chunk (reseed candidate)
+            far = jnp.argmax(dmin)
+            return sums, counts, fchunk[far], dmin[far]
+
+        sums, counts, far_pts, far_d = jax.lax.map(per_chunk, (fdev, valid))
+        sums = jnp.sum(sums, axis=0)
+        counts = jnp.sum(counts, axis=0)
+        far = jnp.argmax(far_d)
+        new_cents = jnp.where(
+            (counts > 0)[:, None], sums / jnp.maximum(counts, 1)[:, None],
+            cents,
+        )
+        return new_cents, counts, far_pts[far]
+
+    for _ in range(iters):
+        cents, counts, far_pt = lloyd(fdev, valid, cents)
+        empty = np.flatnonzero(np.asarray(counts) == 0)
+        if empty.size:
+            # rare; reseed the first empty cluster to the globally farthest
+            # point (subsequent iterations handle any remaining empties)
+            cents = cents.at[int(empty[0])].set(far_pt)
+    return np.asarray(cents)
+
+
 class KmeansAssigner:
     def __init__(self, centroids: Union[str, np.ndarray], norm: bool = False):
         if isinstance(centroids, (str,)):

@@ -77,3 +77,62 @@ def test_smoke_train_tool_composes(tmp_path):
     train_ds, eval_ds = build_all_datasets(cfg)
     assert len(train_ds) == 1 and len(train_ds[0]) > 0
     assert set(eval_ds) == {""} and len(eval_ds[""]) > 0
+
+
+# ---------------------------------------------- tools/compute_centroids.py
+_CENT = Path(__file__).resolve().parent.parent / "tools" / "compute_centroids.py"
+_cent_spec = importlib.util.spec_from_file_location("centroid_tool", _CENT)
+centroid_tool = importlib.util.module_from_spec(_cent_spec)
+_cent_spec.loader.exec_module(centroid_tool)
+
+
+def _blobs(rng, centers, n_per):
+    pts = [
+        c + 0.05 * rng.normal(size=(n_per, len(c))) for c in centers
+    ]
+    return np.concatenate(pts).astype(np.float32)
+
+
+def test_kmeans_fit_recovers_blobs():
+    from avt_tpu.models.cluster import KmeansAssigner, kmeans_fit
+
+    rng = np.random.default_rng(0)
+    true = np.array([[0.0, 0.0], [3.0, 3.0], [-3.0, 2.0]], np.float32)
+    feats = _blobs(rng, true, 200)
+    cents = kmeans_fit(feats, k=3, iters=20, seed=1, chunk=128)
+    # each true center has a recovered centroid within the blob scale
+    d = np.linalg.norm(true[:, None] - cents[None], axis=-1)
+    assert (d.min(axis=1) < 0.05).all(), d
+    # assigner groups each blob consistently
+    assigner = KmeansAssigner(cents)
+    labels = np.asarray(assigner(feats)).reshape(3, 200)
+    for row in labels:
+        assert (row == row[0]).all()
+
+
+def test_kmeans_fit_empty_cluster_reseed():
+    from avt_tpu.models.cluster import kmeans_fit
+
+    rng = np.random.default_rng(2)
+    feats = _blobs(rng, np.zeros((1, 4), np.float32), 64)
+    # k close to n with duplicate-heavy data still returns k distinct rows
+    cents = kmeans_fit(feats, k=16, iters=5, seed=0, chunk=32)
+    assert cents.shape == (16, 4)
+    assert np.isfinite(cents).all()
+
+
+def test_compute_centroids_cli_npy(tmp_path):
+    rng = np.random.default_rng(3)
+    true = np.array([[1.0, 0.0, 0.0], [0.0, 4.0, 0.0]], np.float32)
+    np.save(tmp_path / "a.npy", _blobs(rng, true, 100))
+    np.save(tmp_path / "b.npy",
+            _blobs(rng, true, 50).reshape(2 * 50, 1, 3))  # (N, T, C) form
+    out = tmp_path / "cent.npy"
+    centroid_tool.main([
+        str(tmp_path / "a.npy"), str(tmp_path / "b.npy"),
+        "-k", "2", "-o", str(out), "--iters", "10", "--max-samples", "250",
+    ])
+    cents = np.load(out)
+    assert cents.shape == (2, 3)
+    d = np.linalg.norm(true[:, None] - cents[None], axis=-1)
+    assert (d.min(axis=1) < 0.1).all()
