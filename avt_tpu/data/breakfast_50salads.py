@@ -166,7 +166,12 @@ def init_df(bundle_fpath, annot_reader_fn: Callable, root, action_classes):
         columns=["video_bundle_name", "video_path", "start", "end",
                  "action_class"],
     )
-    return df.astype({"start": "float32", "end": "float32",
+    # Quirk parity (reference breakfast_50salads.py:192-197): start/end are
+    # stored as float16, quantizing timestamps (~0.5 s resolution past
+    # 512 s). The downstream anticipation window math consumes these
+    # values, so the released results carry the quantization; kept as-is
+    # for bit-parity (pinned in test_diff_breakfast).
+    return df.astype({"start": "float16", "end": "float16",
                       "video_path": "object"})
 
 

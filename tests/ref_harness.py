@@ -48,8 +48,18 @@ def _make_hydra_stub():
             return None
         cfg = dict(cfg)
         target = cfg.pop("_target_")
-        cfg.pop("_recursive_", None)
         cfg.update(kwargs)
+        # hydra 1.1 default: recursive instantiation of nested TargetConf
+        # values unless _recursive_=False (passed in the conf OR as a call
+        # kwarg, e.g. breakfast_50salads.py init_df); either way it must
+        # not leak into the target's kwargs
+        recursive = cfg.pop("_recursive_", True)
+        if recursive:
+            cfg = {
+                k: instantiate(v)
+                if isinstance(v, dict) and "_target_" in v else v
+                for k, v in cfg.items()
+            }
         return _resolve_target(target)(*args, **cfg)
 
     hydra_utils.instantiate = instantiate
