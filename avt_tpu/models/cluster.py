@@ -102,9 +102,13 @@ def kmeans_fit(
             fchunk, w = args
             d = jnp.sum(cents**2, axis=-1)[None] - 2.0 * fchunk @ cents.T
             lab = jnp.argmin(d, axis=-1)
-            fw = fchunk * w[:, None]
-            sums = jax.ops.segment_sum(fw, lab, num_segments=k)
-            counts = jax.ops.segment_sum(w, lab, num_segments=k)
+            # Scatter-free per-cluster reduction: a one-hot matmul rides
+            # the MXU; segment_sum lowers to scatter-add, which
+            # serializes on the TPU's VPU and dominates the iteration.
+            # Padded rows carry w=0 so they never move a centroid.
+            oh = jax.nn.one_hot(lab, k, dtype=jnp.float32) * w[:, None]
+            sums = oh.T @ fchunk
+            counts = jnp.sum(oh, axis=0)
             dmin = jnp.where(w > 0, jnp.min(d, axis=-1), -jnp.inf)
             # farthest VALID point in this chunk (reseed candidate)
             far = jnp.argmax(dmin)
