@@ -110,6 +110,42 @@ def _make_torchvision_stub():
     return {"torchvision": tv, "torchvision.transforms": tv_transforms}
 
 
+def install_train_stubs():
+    """Extra torchvision surface so `func.train` itself imports: transform
+    classes (common/transforms.py pulls five torchvision.transforms names),
+    dataset samplers, and video_utils.VideoClips (isinstance targets only).
+    """
+    install_stubs()
+    install_notebook_stubs()  # func/train.py imports notebooks.utils
+    tv = sys.modules["torchvision"]
+    tvt = tv.transforms
+    for name in ("RandomCrop", "RandomResizedCrop", "ColorJitter",
+                 "ToPILImage", "ToTensor"):
+        if not hasattr(tvt, name):
+            setattr(tvt, name, type(name, (), {}))
+    def _sub(parent, parent_name, attr):
+        name = f"{parent_name}.{attr}"
+        mod = getattr(parent, attr, None) or sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        setattr(parent, attr, mod)
+        sys.modules[name] = mod
+        return mod
+
+    tv_datasets = _sub(tv, "torchvision", "datasets")
+    tv_video_utils = _sub(tv_datasets, "torchvision.datasets", "video_utils")
+    if not hasattr(tv_video_utils, "VideoClips"):
+        tv_video_utils.VideoClips = type("VideoClips", (), {})
+    tv_samplers = _sub(tv_datasets, "torchvision.datasets", "samplers")
+    for name in ("DistributedSampler", "UniformClipSampler",
+                 "RandomClipSampler"):
+        if not hasattr(tv_samplers, name):
+            setattr(tv_samplers, name, type(name, (), {}))
+    if not hasattr(tv, "__version__"):
+        tv.__version__ = "0.0-stub"
+
+
 def _make_submitit_stub():
     submitit = types.ModuleType("submitit")
 

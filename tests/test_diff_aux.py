@@ -12,23 +12,9 @@ import torch
 
 import ref_harness
 
-ref_harness.install_stubs()
-
 # common/sampler.py does `import torchvision.datasets.video_utils` for an
-# isinstance check we never hit; extend the stub with that surface.
-_tv = sys.modules["torchvision"]
-if not hasattr(_tv, "datasets"):
-    tv_datasets = types.ModuleType("torchvision.datasets")
-    tv_video_utils = types.ModuleType("torchvision.datasets.video_utils")
-
-    class _VideoClips:  # isinstance target only
-        pass
-
-    tv_video_utils.VideoClips = _VideoClips
-    tv_datasets.video_utils = tv_video_utils
-    _tv.datasets = tv_datasets
-    sys.modules["torchvision.datasets"] = tv_datasets
-    sys.modules["torchvision.datasets.video_utils"] = tv_video_utils
+# isinstance check we never hit; the train-stub set carries that surface.
+ref_harness.install_train_stubs()
 
 ref_cluster = ref_harness.import_ref("common.cluster")
 ref_sampler = ref_harness.import_ref("common.sampler")
