@@ -139,6 +139,63 @@ def test_distributed_shard_shuffle_properties_vs_reference(n, world):
         assert shards(make, None, epoch=4) != a
 
 
+# ------------------------------------------------------ datasets/data.py
+class Recorder:
+    """Stub dataset target: records the kwargs the factory wires in."""
+
+    last = None
+
+    def __init__(self, **kwargs):
+        Recorder.last = kwargs
+
+    def __len__(self):
+        return 1
+
+
+def test_dataset_factory_kwarg_wiring_vs_reference():
+    """get_dataset (datasets/data.py:18-55) vs our build_dataset: both
+    must inject the same data-cfg-derived kwargs (num_frames ->
+    frames_per_clip, frame_rate, subclips dict, load_seg_labels,
+    transform) into the dataset target."""
+    import logging
+
+    ref_data = ref_harness.import_ref("datasets.data")
+    from avt_tpu.config.build import build_dataset
+    from avt_tpu.config.registry import register_target
+
+    register_target("test_diff_aux.Recorder", Recorder)
+
+    data_cfg = {
+        "num_frames": 10,
+        "frame_rate": 1.0,
+        "subclips": {"num_frames": 1, "stride": 1},
+        "load_seg_labels": True,
+    }
+    ref_data.get_dataset(
+        {"_target_": "test_diff_aux.Recorder"},
+        types.SimpleNamespace(**data_cfg),
+        transform="SENTINEL-TRANSFORM",
+        logger=logging.getLogger("x"),
+    )
+    ref_kwargs = dict(Recorder.last)
+    Recorder.last = None
+
+    build_dataset(
+        {"_target_": "test_diff_aux.Recorder"}, data_cfg,
+        transform="SENTINEL-TRANSFORM",
+    )
+    our_kwargs = dict(Recorder.last)
+
+    for key in ("frames_per_clip", "frame_rate", "subclips_options",
+                "load_seg_labels", "transform"):
+        assert our_kwargs.get(key) == ref_kwargs.get(key), (
+            key, our_kwargs.get(key), ref_kwargs.get(key))
+    # ours additionally resolves reader_fn itself (the reference defers
+    # to hydra inside BaseVideoDataset); the default maps the reference's
+    # DefaultReader target onto our native libav reader
+    assert type(our_kwargs["reader"]).__name__ == "LibavVideoReader"
+
+
 # ---------------------------------------------------------- reader_fns.py
 def test_onehot_reader_vs_reference():
     """VideoAsLabelOnehotReader: same df row -> identical (T,1,1,C) one-hot
