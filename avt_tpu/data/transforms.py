@@ -62,15 +62,20 @@ def _interp_taps(in_size: int, out_size: int):
 def _resize_axis_torch(x: jax.Array, out_size: int, axis: int) -> jax.Array:
     in_size = x.shape[axis]
     if out_size == in_size:
-        return x
+        return x.astype(jnp.float32)
     lo, hi, frac = _interp_taps(in_size, out_size)
-    lo_v = jnp.take(x, jnp.asarray(lo), axis=axis)
-    hi_v = jnp.take(x, jnp.asarray(hi), axis=axis)
+    # the 2-tap arithmetic is ALWAYS float32 — torch's kernel precision —
+    # regardless of the input dtype: a bf16 multiply-add here drifts ~1
+    # intensity level on 0..255 pixels, wrecking the exactness guarantee.
+    # bf16 INPUTS are fine (uint8-range pixels are exactly representable),
+    # so a bf16 compute_dtype still halves the gather traffic.
+    lo_v = jnp.take(x, jnp.asarray(lo), axis=axis).astype(jnp.float32)
+    hi_v = jnp.take(x, jnp.asarray(hi), axis=axis).astype(jnp.float32)
     shape = [1] * x.ndim
     shape[axis] = out_size
-    f = jnp.asarray(frac, dtype=x.dtype).reshape(shape)
-    # same 2-tap arithmetic as torch's kernel (w0*v0 + w1*v1) so the
-    # rounding matches to float noise, unlike a (sparse-as-dense) matmul
+    f = jnp.asarray(frac, dtype=jnp.float32).reshape(shape)
+    # same 2-tap form as torch's kernel (w0*v0 + w1*v1) so the rounding
+    # matches to float noise, unlike a (sparse-as-dense) matmul
     return lo_v * (1.0 - f) + hi_v * f
 
 
@@ -82,7 +87,9 @@ def resize_bilinear_torch(
     Parity target: reference common/transforms.py:60-91 (Resize ->
     F.interpolate(mode='bilinear')), pinned against torch itself in
     tests/test_transforms.py. jax.image.resize cannot reproduce this: its
-    'linear' kernel antialiases on downscale.
+    'linear' kernel antialiases on downscale. Returns float32 for ANY
+    input dtype — interpolation runs in f32 so the pixel-exactness claim
+    holds even under a bfloat16 preprocessing compute_dtype.
     """
     x = _resize_axis_torch(x, out_h, x.ndim - 3)
     return _resize_axis_torch(x, out_w, x.ndim - 2)

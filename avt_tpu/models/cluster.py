@@ -42,7 +42,9 @@ def kmeans_fit(
     as jitted device programs — the (chunk, C) @ (C, k) distance matmuls
     are MXU work, the per-cluster reduction is a segment_sum, and only
     (k, C) centroids cross the host boundary per iteration. Empty
-    clusters reseed to the point farthest from its centroid.
+    clusters reseed to the farthest points (full squared distance, one
+    candidate per chunk) and get extra refinement rounds so no raw or
+    stale row escapes into the output.
     """
     feats = np.ascontiguousarray(feats, dtype=np.float32)
     n, c = feats.shape
@@ -109,28 +111,46 @@ def kmeans_fit(
             oh = jax.nn.one_hot(lab, k, dtype=jnp.float32) * w[:, None]
             sums = oh.T @ fchunk
             counts = jnp.sum(oh, axis=0)
-            dmin = jnp.where(w > 0, jnp.min(d, axis=-1), -jnp.inf)
-            # farthest VALID point in this chunk (reseed candidate)
+            # reseed candidate: farthest VALID point by the FULL squared
+            # distance ||f-c||^2 = ||f||^2 + (||c||^2 - 2 f.c); dropping
+            # ||f||^2 is fine for the per-point argmin over centroids but
+            # NOT for comparing across points — it biases toward
+            # small-norm points
+            fn2 = jnp.sum(fchunk**2, axis=-1)
+            dmin = jnp.where(
+                w > 0, fn2 + jnp.min(d, axis=-1), -jnp.inf
+            )
             far = jnp.argmax(dmin)
             return sums, counts, fchunk[far], dmin[far]
 
         sums, counts, far_pts, far_d = jax.lax.map(per_chunk, (fdev, valid))
         sums = jnp.sum(sums, axis=0)
         counts = jnp.sum(counts, axis=0)
-        far = jnp.argmax(far_d)
         new_cents = jnp.where(
             (counts > 0)[:, None], sums / jnp.maximum(counts, 1)[:, None],
             cents,
         )
-        return new_cents, counts, far_pts[far]
+        # (m, C) per-chunk farthest points, farthest-first
+        order = jnp.argsort(-far_d)
+        return new_cents, counts, far_pts[order]
+
+    def step(cents):
+        cents, counts, far_pts = lloyd(fdev, valid, cents)
+        empty = np.flatnonzero(np.asarray(counts) == 0)
+        # reseed up to one empty per chunk candidate; later iterations
+        # refine the raw points into real centroids
+        for slot, cand in zip(empty, np.asarray(far_pts)):
+            cents = cents.at[int(slot)].set(jnp.asarray(cand))
+        return cents, empty.size
 
     for _ in range(iters):
-        cents, counts, far_pt = lloyd(fdev, valid, cents)
-        empty = np.flatnonzero(np.asarray(counts) == 0)
-        if empty.size:
-            # rare; reseed the first empty cluster to the globally farthest
-            # point (subsequent iterations handle any remaining empties)
-            cents = cents.at[int(empty[0])].set(far_pt)
+        cents, n_empty = step(cents)
+    # extra refinement rounds if the last iteration reseeded or left
+    # empty clusters, so no raw/stale row escapes into the output
+    for _ in range(5):
+        if n_empty == 0:
+            break
+        cents, n_empty = step(cents)
     return np.asarray(cents)
 
 

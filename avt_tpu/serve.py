@@ -123,6 +123,12 @@ def batch_predict(
             f"artifact is compiled for batch {want_b}, got {batch_size}"
         )
     n = frames.shape[0]
+    if n == 0:  # empty shard: empty per-key outputs, not a crash
+        leaves = [
+            np.zeros((0,) + tuple(a.shape[1:]), a.dtype)
+            for a in exported.out_avals
+        ]
+        return jax.tree.unflatten(exported.out_tree, leaves)
     outs = []
     for i in range(0, n, want_b):
         chunk = frames[i : i + want_b]

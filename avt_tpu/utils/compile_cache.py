@@ -47,7 +47,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     """
     if os.environ.get("AVT_TPU_NO_CACHE"):
         return
-    if _intended_platform() == "cpu":
+    plat = _intended_platform()
+    if plat == "default":
+        # platform not explicitly configured: resolve the ACTUAL backend
+        # (a host without the TPU tunnel falls back to CPU and must not
+        # persist). This freezes the platform choice — acceptable here,
+        # since every caller uses jax right after enabling the cache.
+        import jax
+
+        plat = jax.default_backend()
+    if plat == "cpu":
         return
     import jax
 

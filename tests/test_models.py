@@ -354,6 +354,17 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         monkeypatch.setenv("AVT_TPU_NO_CACHE", "1")
         cc.enable_compile_cache(str(tmp_path / "other"))  # disabled: no-op
         assert jax.config.jax_compilation_cache_dir == target
+        monkeypatch.delenv("AVT_TPU_NO_CACHE")
+
+        # platform NOT explicitly configured: the ACTUAL backend decides —
+        # an implicit-CPU fallback (host without the TPU tunnel) must not
+        # persist either
+        jax.config.update("jax_compilation_cache_dir", prev)
+        monkeypatch.setattr(cc, "_intended_platform", lambda: "default")
+        target = str(tmp_path / "implicit_cpu")
+        cc.enable_compile_cache(target)  # default_backend() is cpu here
+        assert jax.config.jax_compilation_cache_dir == prev
+        assert not _os.path.exists(target)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
 

@@ -97,6 +97,15 @@ def test_batch_predict_pads_and_trims(tiny):
     np.testing.assert_allclose(out["logits/action"][:B], direct, atol=1e-5)
 
 
+def test_batch_predict_empty_input(tiny):
+    model, pp, params, frames = tiny
+    exported = export_eval_forward(
+        model, params, frames.shape, preprocessor=pp, platforms=("cpu",))
+    out = batch_predict(exported, frames[:0])
+    assert set(out) == {"logits/action"}
+    assert out["logits/action"].shape == (0, N_CLS)
+
+
 def test_export_separate_params(tiny):
     model, pp, params, frames = tiny
     exported = export_eval_forward(
@@ -144,6 +153,9 @@ def test_export_cli_on_smoke_dataset(tmp_path):
         "-c", str(conf), "-o", str(out),
         "-B", "2", "-T", "4", "--raw-hw", "48", "64",
         "--platforms", "cpu",
+        # positional overrides compose on top of the file (train_net
+        # grammar, incl. values containing spaces)
+        "data_eval.mean=[0.5, 0.5, 0.5]",
     ])
     exported = load_exported(str(out))
     frames = np.zeros((2, 4, 48, 64, 3), np.uint8)

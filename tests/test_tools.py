@@ -115,10 +115,19 @@ def test_kmeans_fit_empty_cluster_reseed():
 
     rng = np.random.default_rng(2)
     feats = _blobs(rng, np.zeros((1, 4), np.float32), 64)
-    # k close to n with duplicate-heavy data still returns k distinct rows
+    # k close to n with duplicate-heavy data still returns k usable rows:
+    # finite, pairwise distinct (no stale/dead codewords), every centroid
+    # refined (non-empty on the final assignment)
     cents = kmeans_fit(feats, k=16, iters=5, seed=0, chunk=32)
     assert cents.shape == (16, 4)
     assert np.isfinite(cents).all()
+    d = np.linalg.norm(cents[:, None] - cents[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 0, "duplicate centroids survived reseeding"
+    from avt_tpu.models.cluster import KmeansAssigner
+
+    labels = np.asarray(KmeansAssigner(cents)(feats))
+    assert set(labels.tolist()) == set(range(16)), "dead codewords"
 
 
 def test_compute_centroids_cli_npy(tmp_path):

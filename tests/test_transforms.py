@@ -141,6 +141,23 @@ def test_resize_bilinear_matches_torch_interpolate():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_resize_bilinear_exact_under_bf16_inputs():
+    """A bfloat16 compute_dtype must NOT break the exactness claim: uint8
+    pixel values are exactly representable in bf16 and the 2-tap
+    interpolation always runs in f32, so bf16-input output == f32-input
+    output bit for bit (and both match torch per the golden test)."""
+    from avt_tpu.data.transforms import resize_bilinear_torch
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(2, 3, 64, 86, 3))
+    f32 = np.asarray(
+        resize_bilinear_torch(jnp.asarray(frames, jnp.float32), 56, 70))
+    bf16 = np.asarray(
+        resize_bilinear_torch(jnp.asarray(frames, jnp.bfloat16), 56, 70))
+    assert f32.dtype == bf16.dtype == np.float32
+    np.testing.assert_array_equal(bf16, f32)
+
+
 def test_eval_fn_uses_torch_exact_resize():
     """The jitted eval path end-to-end equals a torch-computed reference:
     interpolate -> /255 -> normalize -> center crop."""

@@ -21,8 +21,10 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("-c", "--config", required=True,
-                    help="expts txt or override list, as train_net takes")
+    ap.add_argument("-c", "--config", default=None,
+                    help="expts txt of overrides (as train_net takes)")
+    ap.add_argument("overrides", nargs="*",
+                    help="extra key=value overrides (train_net grammar)")
     ap.add_argument("--ckpt-dir", default=None,
                     help="run dir holding the orbax checkpoint (omit to "
                          "export with random init, e.g. for benchmarks)")
@@ -51,10 +53,8 @@ def main(argv=None):
     from avt_tpu.serve import export_eval_forward, save_exported
     from avt_tpu.train_net import CONF_DIR
 
-    overrides = (
-        parse_overrides_file(args.config) if args.config.endswith(".txt")
-        else [parse_override(o) for o in args.config.split()]
-    )
+    overrides = parse_overrides_file(args.config) if args.config else []
+    overrides += [parse_override(o) for o in args.overrides]
     cfg = Composer(str(CONF_DIR)).compose("config", overrides)
     train_datasets, _ = build_all_datasets(cfg)
     if len(train_datasets) == 1:
