@@ -102,10 +102,9 @@ def test_combine_verb_noun_preds_vs_reference():
 
 # ------------------------------------------------- epic metric bundle
 class _FakeDS:
-    """Duck-typed dataset for compute_accuracies_epic (EPIC-55 flavor:
-    the EK100 branch is exercised in test_analysis; the reference's
-    epic100_unseen_tail_eval uses pandas<2 `squeeze=True` and cannot run
-    on this pandas)."""
+    """Duck-typed dataset for compute_accuracies_epic (EPIC-55 flavor;
+    the EK100 unseen/tail branch gets narration ids + csvs grafted on in
+    test_epic100_unseen_tail_eval_vs_reference)."""
 
     version = 0.1
 
@@ -119,6 +118,40 @@ class _FakeDS:
             "verb": OrderedDict([("v0", 0), ("v3", 3)]),
             "action": OrderedDict([("a1", 1), ("a5", 5), ("a7", 7)]),
         }
+
+
+def test_epic100_unseen_tail_eval_vs_reference(tmp_path, monkeypatch):
+    """epic100_unseen_tail_eval diff (notebooks/utils.py:457-513). The
+    reference calls pandas<2 read_csv(squeeze=True); a shim mapping that
+    onto pandas-2 .squeeze('columns') lets the actual reference code run."""
+    ds = _FakeDS()
+    n = len(ds.df)
+    ds.df["narration_id"] = [f"P{i//10:02d}_{i}" for i in range(n)]
+    ds.rulstm_annotation_dir = str(tmp_path)
+    ids = ds.df["narration_id"]
+    subsets = {
+        "validation_unseen_participants_ids.csv": ids[ids.str.startswith("P00")],
+        "validation_tail_verbs_ids.csv": ids[::3],
+        "validation_tail_nouns_ids.csv": ids[1::4],
+        "validation_tail_actions_ids.csv": ids[2::5],
+    }
+    for name, sub in subsets.items():
+        sub.to_csv(tmp_path / name, index=False, header=False)
+
+    real_read_csv = pd.read_csv
+
+    def read_csv_with_squeeze(*args, squeeze=False, **kwargs):
+        df = real_read_csv(*args, **kwargs)
+        return df.squeeze("columns") if squeeze else df
+
+    monkeypatch.setattr(pd, "read_csv", read_csv_with_squeeze)
+    probs = [_rand_logits(n, c) for c in (5, 6, 8)]
+    want = ref_nb.epic100_unseen_tail_eval(probs, ds)
+    got = my_analysis.epic100_unseen_tail_eval(probs, ds)
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_allclose(got[key], want[key], equal_nan=True,
+                                   rtol=1e-6, err_msg=key)
 
 
 def test_compute_accuracies_epic_vs_reference():
