@@ -289,8 +289,22 @@ def build_model(cfg: Dict, num_classes: Dict[str, int], class_mappings: Dict):
         floss = (
             instantiate(loss_cfg, reduction="none") if loss_cfg else None
         )
+        # reference future_prediction.py:66-75: assign_to_centroids is a
+        # centroid FILE the quantized ablations point at from config
+        # (torch ckpt {'weight': KxC} or .npy, e.g. from
+        # tools/compute_centroids.py); our AVTh takes the array
+        cent = fcfg.pop("assign_to_centroids", None)
+        if cent is None:
+            cent = fcfg.pop("centroids", None)
+        else:
+            fcfg.pop("centroids", None)
+        if isinstance(cent, str):
+            from avt_tpu.models.cluster import load_centroids
+
+            cent = load_centroids(cent)
         future_predictor = AVTh(
-            in_features=agg_dim_out, future_pred_loss=floss, **fcfg
+            in_features=agg_dim_out, future_pred_loss=floss,
+            centroids=cent, **fcfg
         )
     elif ftarget == "avt_tpu.models.IdentityFuture":
         future_predictor = IdentityFuture(in_features=agg_dim_out)

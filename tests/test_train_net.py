@@ -376,3 +376,79 @@ def test_train_net_feature_extraction(ek_tree, tmp_path):
         feats = np.asarray(f["temp_agg"])
         assert feats.shape[1] == C and feats.shape[0] >= 16
         assert np.isfinite(feats).all()
+
+
+def test_train_net_quantized_avth_from_config(ek_tree, tmp_path):
+    """Quantized AVT-h end to end from config: centroids fit by our
+    kmeans_fit (tools/compute_centroids.py core) feed the reference's
+    `assign_to_centroids` config key (future_prediction.py:66-75) —
+    features assign to centroid ids, the GPT core predicts over the
+    K-way codebook with a cross-entropy future loss, and predictions
+    re-expand to centroid features for classification."""
+    from avt_tpu.config.build import build_all_datasets, build_model
+    from avt_tpu.models.cluster import kmeans_fit
+
+    feats = np.concatenate([
+        np.load(ek_tree / "feats" / f"P0{v}_01.npy")[::7] for v in range(2)
+    ])
+    cents = kmeans_fit(feats, k=8, iters=10, seed=0, chunk=512)
+    cent_path = tmp_path / "cent.npy"
+    np.save(cent_path, np.asarray(cents))
+
+    overrides = [
+        "train.batch_size=2",
+        "eval.batch_size=2",
+        "train.num_epochs=1",
+        "train.eval_freq=1",
+        "train.train_one_epoch_fn.loss_wts.feat=1.0",
+        "train.train_one_epoch_fn.save_freq_min=null",
+        "model/backbone=identity",
+        f"model.backbone_dim={C}",
+        "model/temporal_aggregator=identity",
+        "model/future_predictor=avth",
+        "model.dropout=0.0",
+        "+model.future_predictor.n_head=2",
+        "+model.future_predictor.n_layer=2",
+        "+model.future_predictor.inter_dim=32",
+        "+model.future_predictor.output_len=1",
+        "+model.future_predictor.avg_last_n=1",
+        "+model.future_predictor.return_past_too=true",
+        f"+model.future_predictor.assign_to_centroids={cent_path}",
+        "+model.future_predictor.future_pred_loss="
+        "{_target_: loss_fn.multidim_xentropy.MultiDimCrossEntropy}",
+        "data_train.num_frames=10",
+        "data_train.frame_rate=1",
+        "data_eval.num_frames=10",
+        "data_eval.frame_rate=1",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        "dataset_train.conv_to_anticipate_fn.tau_a=1",
+        "dataset_train.conv_to_anticipate_fn.tau_o=10",
+        "dataset_eval.conv_to_anticipate_fn.tau_a=1",
+        "dataset_eval.conv_to_anticipate_fn.tau_o=10",
+        f"dataset_train.annotation_path=[{ek_tree}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{ek_tree}/annot/validation.csv]",
+        f"dataset.epic_kitchens100.common.annot_dir={ek_tree}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={ek_tree}/annot/",
+        f"dataset_train.root={ek_tree}/feats",
+        f"dataset_eval.root={ek_tree}/feats",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {ek_tree}/feats, read_type: normal}}",
+    ]
+    cfg = Composer(CONF_DIR).compose(
+        "config", [parse_override(o) for o in overrides])
+
+    # the built model is in assign-to-centroids quantized mode
+    train_ds, _ = build_all_datasets(cfg)
+    num_classes = {k: len(v) for k, v in train_ds[0].classes.items()}
+    model = build_model(cfg, num_classes, train_ds[0].class_mappings)
+    fp = model.future_predictor
+    assert fp.centroids is not None
+    assert np.asarray(fp.centroids).shape == (8, C)
+
+    work_dir = str(tmp_path / "run_quant")
+    os.makedirs(work_dir)
+    metric = main(cfg, work_dir)
+    assert 0.0 <= metric <= 100.0
