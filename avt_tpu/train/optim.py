@@ -362,7 +362,16 @@ def _path_str(path) -> str:
 
 
 def _is_bias_or_norm(path_str: str, leaf) -> bool:
-    """bias/batch-norm/layer-norm params get bias_bn_wd_scale applied."""
+    """bias/batch-norm/layer-norm params get bias_bn_wd_scale applied.
+
+    Deliberately broader than the reference's literal rule
+    (func/train.py:714: ``name.endswith('bias') or '.bn' in name``): torch
+    LayerNorm scales are named ``*.weight`` so the reference gives them FULL
+    weight decay, while this treats them as norm params. The delta is inert
+    for every shipped experiment — the only expt with
+    ``bias_bn_wd_scale != 1.0`` is the test-only ``05_ek100_rustm``
+    (no optimizer updates) — and matches the rule's evident intent.
+    """
     name = path_str.rsplit("/", 1)[-1]
     return name in ("bias",) or "LayerNorm" in path_str or "/bn" in path_str or (
         name == "scale"
