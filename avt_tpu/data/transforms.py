@@ -184,12 +184,14 @@ def temporal_center_crop(video: jax.Array, clip_len: int) -> jax.Array:
 
     Parity: reference common/transforms.py:303-308 (temporal_center_crop),
     defined for completeness — the reference exports it but no shipped
-    config uses it.
+    config uses it. The start index is T//2 - clip_len//2 (NOT
+    (T-clip_len)//2, which lands one frame earlier for even T, odd
+    clip_len); pinned vs the reference in test_diff_transforms.
     """
     T = video.shape[-3]
     if T <= clip_len:
         return video
-    start = (T - clip_len) // 2
+    start = T // 2 - clip_len // 2
     return video[..., start : start + clip_len, :, :]
 
 
