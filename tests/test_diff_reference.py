@@ -363,6 +363,115 @@ def test_avth_vs_reference(output_len, avg_last_n, return_past):
     )
 
 
+@pytest.mark.parametrize("output_len,quant_rollout", [(1, False), (2, True)])
+def test_avth_quantized_ids_vs_reference(output_len, quant_rollout):
+    """Quantized AVTh, cluster-id inputs (in_features=1): nn.Embedding
+    encoder with the weight-tied decoder (future_prediction.py:77-87),
+    hidden-state outputs, CE feat loss over cluster logits, and the
+    argmax+re-encode rollout (quantize_before_rollout, :199-202)."""
+    import jax
+    from avt_tpu.models.future import AVTh
+    from avt_tpu.models.import_torch import avt_checkpoint_to_flax, merge_params
+
+    K, inter = 11, 32
+    torch.manual_seed(5)
+    ref = ref_future.AVTh(
+        in_features=1, inter_dim=inter, output_len=output_len,
+        num_cluster_centers=K, quantize_before_rollout=quant_rollout,
+        future_pred_loss={
+            "_target_": "loss_fn.multidim_xentropy.MultiDimCrossEntropy"},
+        n_layer=2, n_head=2,
+    ).eval()
+    sd = {
+        f"future_predictor.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+    }
+    converted = avt_checkpoint_to_flax(sd)
+
+    model = AVTh(
+        in_features=1, inter_dim=inter, n_layer=2, n_head=2,
+        output_len=output_len, num_cluster_centers=K,
+        quantize_before_rollout=quant_rollout,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        future_pred_loss=lambda p, t: multidim_cross_entropy(
+            p, t, reduction="none"),
+    )
+    ids = RNG.integers(0, K, size=(2, 5, 1)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    merged = merge_params(init["params"], converted["future_predictor"])
+    past, final, losses, _ = model.apply({"params": merged}, jnp.asarray(ids))
+    with torch.no_grad():
+        t_past, t_final, t_losses, _ = ref(
+            torch.from_numpy(ids), target_shape=(2,))
+    np.testing.assert_allclose(
+        np.asarray(past), t_past.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(final), t_final.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(losses["feat"]), t_losses["feat"].numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("output_len,quant_rollout", [(1, False), (2, True)])
+def test_avth_assign_to_centroids_vs_reference(tmp_path, output_len,
+                                               quant_rollout):
+    """Quantized AVTh with on-the-fly centroid assignment of float features
+    (assign_to_centroids, future_prediction.py:71-78,132-135,222-227):
+    assignment ids feed the embedding encoder, predictions map back through
+    the ORIGINAL kmeans centroid features, past feats stay the float input."""
+    import jax
+    from avt_tpu.models.future import AVTh
+    from avt_tpu.models.import_torch import avt_checkpoint_to_flax, merge_params
+
+    K, C, inter = 9, 12, 32
+    centroids = RNG.normal(size=(K, C)).astype(np.float32) * 3.0
+    fpath = tmp_path / "cent.pth"
+    torch.save({"weight": torch.from_numpy(centroids)}, fpath)
+    torch.manual_seed(7)
+    ref = ref_future.AVTh(
+        in_features=C, inter_dim=inter, output_len=output_len,
+        assign_to_centroids=str(fpath), num_cluster_centers=K,
+        quantize_before_rollout=quant_rollout,
+        future_pred_loss={
+            "_target_": "loss_fn.multidim_xentropy.MultiDimCrossEntropy"},
+        n_layer=2, n_head=2,
+    ).eval()
+    sd = {
+        f"future_predictor.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+    }
+    converted = avt_checkpoint_to_flax(sd)
+
+    model = AVTh(
+        in_features=C, inter_dim=inter, n_layer=2, n_head=2,
+        output_len=output_len, num_cluster_centers=K,
+        centroids=centroids, quantize_before_rollout=quant_rollout,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        future_pred_loss=lambda p, t: multidim_cross_entropy(
+            p, t, reduction="none"),
+    )
+    # features = jittered centroid rows so both sides assign unambiguously
+    rows = RNG.integers(0, K, size=(2, 5))
+    feats = (centroids[rows] + 0.05 * RNG.normal(size=(2, 5, C))).astype(
+        np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    merged = merge_params(init["params"], converted["future_predictor"])
+    past, final, losses, _ = model.apply(
+        {"params": merged}, jnp.asarray(feats))
+    with torch.no_grad():
+        t_past, t_final, t_losses, _ = ref(
+            torch.from_numpy(feats), target_shape=(2,))
+    np.testing.assert_allclose(
+        np.asarray(past), t_past.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(final), t_final.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(losses["feat"]), t_losses["feat"].numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
 # ----------------------------------------------- meters + in-loop accuracy
 def test_smoothed_value_vs_reference():
     """SmoothedValue trace parity vs common/log.py:19-83: median is torch's
