@@ -403,6 +403,10 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
         if f"{src}.weight" in sd:
             _set(p, f"{dst}/kernel", _t(sd[f"{src}.weight"]))
             _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+    # regression_head = nn.Linear(cls_input_dim, 1) (base_model.py:101-103)
+    if "regression_head.weight" in sd:
+        _set(p, "regression_head/kernel", _t(sd["regression_head.weight"]))
+        _set(p, "regression_head/bias", sd["regression_head.bias"])
     for agg_name in ("temporal_aggregator",
                      "temporal_aggregator_after_future_pred"):
         agg = _temporal_agg_subtree(sd, agg_name + ".")
@@ -410,8 +414,8 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
             p[agg_name] = agg
     handled = {
         "backbone", "future_predictor", "classifiers", "mapper_to_inter",
-        "reset_temp_agg_feat_dim", "project_mlp", "temporal_aggregator",
-        "temporal_aggregator_after_future_pred",
+        "reset_temp_agg_feat_dim", "project_mlp", "regression_head",
+        "temporal_aggregator", "temporal_aggregator_after_future_pred",
     }
     leftovers = sorted(
         {k.split(".")[0] for k in sd} - handled - {"cls_map_verb_action",

@@ -688,7 +688,8 @@ class _AttrDict(dict):
         self[k] = v
 
 
-@pytest.mark.parametrize("variant", ["past_classifier", "cls_mappings"])
+@pytest.mark.parametrize(
+    "variant", ["past_classifier", "cls_mappings", "nce_regression"])
 def test_base_model_composition_vs_reference(variant):
     """The FULL composition root diffed against the reference BaseModel
     (models/base_model.py), expts/02-style: identity backbone over feature
@@ -719,6 +720,10 @@ def test_base_model_composition_vs_reference(variant):
     inter, n_layer, n_head = 32, 2, 2
     use_maps = variant == "cls_mappings"
     on_past = variant == "past_classifier"
+    # NCE projection head (project_mlp on backbone_mean/temp_agg and the
+    # future_projected-is-past quirk, base_model.py:161-164,180,209) +
+    # regression head (:101-103) — the SSL-config surface
+    nce = variant == "nce_regression"
     cfg = _AttrDict(
         backbone={"_target_": "torch.nn.Identity"},
         backbone_last_n_modules_to_drop=0,
@@ -734,14 +739,14 @@ def test_base_model_composition_vs_reference(variant):
             "inter_dim": inter, "n_layer": n_layer, "n_head": n_head,
             "future_pred_loss": {"_target_": "loss_fn.mse.NormedMSE"},
         },
-        project_dim_for_nce=None,
+        project_dim_for_nce=16 if nce else None,
         temporal_aggregator_after_future_pred={
             "_target_": "models.temporal_aggregation.Identity"
         },
         dropout=0.0,
         use_cls_mappings=use_maps,
         classifier={"_target_": "torch.nn.Linear"},
-        add_regression_head=False,
+        add_regression_head=nce,
         classifier_on_past=on_past,
         bn=_AttrDict(eps=1e-5, mom=0.1),
     )
@@ -781,6 +786,8 @@ def test_base_model_composition_vs_reference(variant):
         dropout=0.0,
         use_cls_mappings=use_maps,
         classifier_on_past=on_past,
+        project_dim_for_nce=16 if nce else None,
+        add_regression_head=nce,
     )
     video = RNG.normal(size=(B, clips, crops, C, 1, 1, 1)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(video), (B,))
