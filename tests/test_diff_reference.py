@@ -363,6 +363,52 @@ def test_avth_vs_reference(output_len, avg_last_n, return_past):
     )
 
 
+def test_avth_drop_last_n_and_output_len_eval_vs_reference():
+    """Two remaining AVTh config edges: drop_last_n input truncation
+    (future_prediction.py:151-158) and the eval-time output_len_eval
+    override (:123-129) — eval mode picks output_len_eval=2 over
+    output_len=1, rolling out one extra step."""
+    import jax
+    from avt_tpu.models.future import AVTh
+    from avt_tpu.models.import_torch import avt_checkpoint_to_flax, merge_params
+    from avt_tpu.losses.mse import normed_mse
+
+    in_features, inter = 24, 32
+    torch.manual_seed(9)
+    ref = ref_future.AVTh(
+        in_features=in_features, inter_dim=inter,
+        output_len=1, output_len_eval=2, drop_last_n=2,
+        future_pred_loss={"_target_": "loss_fn.mse.NormedMSE"},
+        n_layer=2, n_head=2,
+    ).eval()
+    sd = {
+        f"future_predictor.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+    }
+    converted = avt_checkpoint_to_flax(sd)
+    model = AVTh(
+        in_features=in_features, inter_dim=inter, n_layer=2, n_head=2,
+        output_len=1, output_len_eval=2, drop_last_n=2,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        future_pred_loss=lambda p, t: normed_mse(p, t, reduction="none"),
+    )
+    feats = RNG.normal(size=(2, 7, in_features)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    merged = merge_params(init["params"], converted["future_predictor"])
+    past, final, losses, _ = model.apply({"params": merged}, jnp.asarray(feats))
+    with torch.no_grad():
+        t_past, t_final, t_losses, _ = ref(
+            torch.from_numpy(feats), target_shape=(2,))
+    np.testing.assert_allclose(
+        np.asarray(past), t_past.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(final), t_final.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(losses["feat"]), t_losses["feat"].numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("output_len,quant_rollout", [(1, False), (2, True)])
 def test_avth_quantized_ids_vs_reference(output_len, quant_rollout):
     """Quantized AVTh, cluster-id inputs (in_features=1): nn.Embedding
