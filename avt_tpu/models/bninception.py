@@ -16,6 +16,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avt_tpu.models.norm import TorchExactBatchNorm
+
 
 class _ConvBN(nn.Module):
     features: int
@@ -33,9 +35,9 @@ class _ConvBN(nn.Module):
         # every imported activation)
         x = nn.Conv(self.features, self.kernel, strides=(self.stride,) * 2,
                     padding=pad, use_bias=True, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=1.0 - self.bn_mom, epsilon=self.bn_eps,
-                         name="bn")(x)
+        x = TorchExactBatchNorm(use_running_average=not train,
+                                momentum=1.0 - self.bn_mom,
+                                epsilon=self.bn_eps, name="bn")(x)
         return nn.relu(x)
 
 

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avt_tpu.models.norm import TorchExactBatchNorm
+
 
 class _BN(nn.Module):
     eps: float = 1e-3
@@ -30,7 +32,7 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        return nn.BatchNorm(
+        return TorchExactBatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum_torch,
             epsilon=self.eps,

@@ -95,3 +95,66 @@ def test_bninception_shapes():
     assert out.shape == (1, 1024, 2, 1, 1)
     assert "batch_stats" in variables
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_torch_exact_bn_running_stats_vs_torch():
+    """Train-mode BN trajectory differential vs torch.nn.BatchNorm3d.
+
+    flax's stock BatchNorm folds the BIASED batch variance into the
+    running average; torch accumulates the UNBIASED one (var * n/(n-1),
+    torch/nn/modules/batchnorm.py). TorchExactBatchNorm replicates torch:
+    feed the same input sequence through both in train mode and the
+    normalized outputs AND the running stats must track step for step,
+    then agree on the eval-mode forward that uses them."""
+    import torch
+
+    from avt_tpu.models.norm import TorchExactBatchNorm
+
+    feat, steps = 5, 4
+    # small spatial extent so the n/(n-1) correction is far above tolerance
+    shape = (2, 3, 4, 4, feat)  # N, T, H, W, C  (n = 96 per channel)
+    tbn = torch.nn.BatchNorm3d(feat, eps=1e-3, momentum=0.1).train()
+    with torch.no_grad():
+        tbn.weight.copy_(torch.rand(feat) + 0.5)
+        tbn.bias.copy_(torch.rand(feat) - 0.5)
+
+    jbn = TorchExactBatchNorm(use_running_average=False, momentum=0.9,
+                              epsilon=1e-3)
+    xs = RNG.normal(size=(steps,) + shape).astype(np.float32) * 2 + 1
+    variables = jbn.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]))
+    variables = {
+        "params": {
+            "scale": jnp.asarray(tbn.weight.detach().numpy().copy()),
+            "bias": jnp.asarray(tbn.bias.detach().numpy().copy()),
+        },
+        "batch_stats": variables["batch_stats"],
+    }
+    for i in range(steps):
+        got, mut = jbn.apply(variables, jnp.asarray(xs[i]),
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mut}
+        with torch.no_grad():
+            # torch layout (N, C, T, H, W)
+            want = tbn(torch.from_numpy(
+                xs[i].transpose(0, 4, 1, 2, 3))).numpy()
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+            rtol=1e-5, atol=1e-5, err_msg=f"train output, step {i}")
+        np.testing.assert_allclose(
+            np.asarray(variables["batch_stats"]["mean"]),
+            tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6,
+            err_msg=f"running mean, step {i}")
+        np.testing.assert_allclose(
+            np.asarray(variables["batch_stats"]["var"]),
+            tbn.running_var.numpy(), rtol=1e-5, atol=1e-6,
+            err_msg=f"running var, step {i}")
+
+    jbn_eval = TorchExactBatchNorm(use_running_average=True, momentum=0.9,
+                                   epsilon=1e-3)
+    got = jbn_eval.apply(variables, jnp.asarray(xs[0]))
+    with torch.no_grad():
+        want = tbn.eval()(torch.from_numpy(
+            xs[0].transpose(0, 4, 1, 2, 3))).numpy()
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+        rtol=1e-5, atol=1e-5, err_msg="eval output on trained stats")
