@@ -55,6 +55,11 @@ def _conv(features, kernel, stride=1, padding=0, groups=1, name=None):
     return nn.Conv(
         features, kernel_size=kernel, strides=stride, padding=padding,
         use_bias=False, feature_group_count=groups, name=name,
+        # torchvision VideoResNet._initialize_weights: kaiming_normal_
+        # (fan_out, relu) on every conv — matters for the from-scratch
+        # training configs (flax's default is lecun fan_in)
+        kernel_init=nn.initializers.variance_scaling(
+            2.0, "fan_out", "normal"),
     )
 
 

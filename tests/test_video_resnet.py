@@ -158,3 +158,27 @@ def test_torch_exact_bn_running_stats_vs_torch():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 4, 1, 2, 3), want,
         rtol=1e-5, atol=1e-5, err_msg="eval output on trained stats")
+
+
+def test_conv_init_matches_torchvision_kaiming_fan_out():
+    """From-scratch init parity: torchvision VideoResNet._initialize_weights
+    applies kaiming_normal_(mode='fan_out', nonlinearity='relu') to every
+    conv — std = sqrt(2 / (out_channels * receptive_field))."""
+    from avt_tpu.models.video_resnet import r2plus1d_18
+
+    net = r2plus1d_18()
+    video = jnp.asarray(RNG.normal(size=(1, 3, 4, 32, 32)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), video)
+
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    checked = 0
+    for path, leaf in flat:
+        if leaf.ndim == 5:  # conv kernels (kd, kh, kw, in, out)
+            fan_out = leaf.shape[-1] * int(np.prod(leaf.shape[:3]))
+            want_std = np.sqrt(2.0 / fan_out)
+            got_std = float(np.std(np.asarray(leaf)))
+            if leaf.size < 2000:  # too few samples for a tight estimate
+                continue
+            np.testing.assert_allclose(got_std, want_std, rtol=0.15)
+            checked += 1
+    assert checked >= 10
