@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import fnmatch
 import math
-from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -343,10 +343,120 @@ def _base_optimizer(
             mu_dtype=acc,
         )
     if name == "adafactor":
-        return optax.chain(
-            optax.add_decayed_weights(wd), optax.adafactor(schedule)
-        )
+        return transformers_adafactor(schedule, weight_decay=wd)
     raise NotImplementedError(f"Unknown optimizer {name!r}")
+
+
+class AdafactorState(NamedTuple):
+    count: jax.Array
+    row: Any  # params-shaped trees; () placeholders where unused
+    col: Any
+    v: Any
+
+
+def transformers_adafactor(
+    schedule: Schedule,
+    *,
+    weight_decay: float = 0.0,
+    eps1: float = 1e-30,
+    eps2: float = 1e-3,
+    clip_threshold: float = 1.0,
+    decay_rate: float = -0.8,
+    scale_parameter: bool = True,
+    relative_step: bool = True,
+    warmup_init: bool = False,
+) -> optax.GradientTransformation:
+    """transformers.Adafactor, exactly (the reference's optimizer:
+    conf/opt/optimizer/adafactor.yaml -> transformers.Adafactor).
+
+    Faithful quirk: func/train.py:744 passes per-group lr dicts, which
+    bypass the constructor's manual-lr check, and with the default
+    relative_step=True `_get_lr` IGNORES both the configured LR and every
+    scheduler step — the effective step size is
+    `min(1e-2, 1/sqrt(t)) * max(eps2, RMS(param))`. `schedule` is only
+    consulted when relative_step=False (the T5-style external-LR mode).
+    Weight decay is decoupled and scaled by that same computed lr
+    (p -= wd * lr * p), unlike torch AdamW's schedule-scaled decay.
+
+    Factoring matches transformers: every >=2D gradient keeps row/col
+    second-moment accumulators over the LAST TWO axes (no
+    min_dim_size_to_factor cutoff like optax's), 1D/scalars keep the full
+    accumulator.
+    """
+
+    def _placeholder():
+        return jnp.zeros((), jnp.float32)
+
+    def init_fn(params):
+        def row_of(p):
+            return (jnp.zeros(p.shape[:-1], jnp.float32) if p.ndim >= 2
+                    else _placeholder())
+
+        def col_of(p):
+            return (jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+                    if p.ndim >= 2 else _placeholder())
+
+        def v_of(p):
+            return (jnp.zeros(p.shape, jnp.float32) if p.ndim < 2
+                    else _placeholder())
+
+        return AdafactorState(
+            count=jnp.zeros((), jnp.int32),
+            row=jax.tree.map(row_of, params),
+            col=jax.tree.map(col_of, params),
+            v=jax.tree.map(v_of, params),
+        )
+
+    def _rms(x):
+        return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("adafactor requires params")
+        t = (state.count + 1).astype(jnp.float32)
+        if relative_step:
+            min_step = 1e-6 * t if warmup_init else 1e-2
+            step_sz = jnp.minimum(min_step, 1.0 / jnp.sqrt(t))
+        else:
+            step_sz = schedule(state.count)
+        beta2t = 1.0 - t ** decay_rate
+
+        def one(g, r, c, v, p):
+            g32 = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            lr = step_sz
+            if scale_parameter:
+                lr = lr * jnp.maximum(eps2, _rms(p32))
+            sq = jnp.square(g32) + eps1
+            if g.ndim >= 2:
+                r = beta2t * r + (1 - beta2t) * jnp.mean(sq, axis=-1)
+                c = beta2t * c + (1 - beta2t) * jnp.mean(sq, axis=-2)
+                rf = jax.lax.rsqrt(
+                    r / jnp.mean(r, axis=-1, keepdims=True))[..., None]
+                cf = jax.lax.rsqrt(c)[..., None, :]
+                u = rf * cf * g32
+            else:
+                v = beta2t * v + (1 - beta2t) * sq
+                u = jax.lax.rsqrt(v) * g32
+            u = u / jnp.maximum(1.0, _rms(u) / clip_threshold)
+            u = u * lr
+            delta = -(u + weight_decay * lr * p32)
+            return delta.astype(p.dtype), r, c, v
+
+        out = jax.tree.map(one, updates, state.row, state.col, state.v,
+                           params)
+        # unzip the per-leaf 4-tuples back into parallel trees
+        is4 = lambda x: isinstance(x, tuple) and len(x) == 4  # noqa: E731
+        new_updates = jax.tree.map(lambda o: o[0], out, is_leaf=is4)
+        new_state = AdafactorState(
+            count=state.count + 1,
+            row=jax.tree.map(lambda o: o[1], out, is_leaf=is4),
+            col=jax.tree.map(lambda o: o[2], out, is_leaf=is4),
+            v=jax.tree.map(lambda o: o[3], out, is_leaf=is4),
+        )
+        return new_updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _path_str(path) -> str:

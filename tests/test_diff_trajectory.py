@@ -143,7 +143,7 @@ def _avt_trajectory(model, params, feats, labels, tx):
     return np.asarray(trace), params
 
 
-def _assert_params_close(avt_params, torch_params):
+def _assert_params_close(avt_params, torch_params, rtol=2e-3, atol=2e-5):
     """Compare the jax param tree against the torch state dict by running
     the final torch weights through the same converter used for init —
     identical tree paths, so a plain path-keyed comparison works."""
@@ -159,15 +159,15 @@ def _assert_params_close(avt_params, torch_params):
     for path, want in want_flat:
         np.testing.assert_allclose(
             np.asarray(got_flat[path]), np.asarray(want),
-            rtol=2e-3, atol=2e-5,
+            rtol=rtol, atol=atol,
             err_msg=f"param {jax.tree_util.keystr(path)} diverged",
         )
     np.testing.assert_allclose(
         np.asarray(avt_params["head"]["kernel"]),
-        torch_params["head.weight"].T, rtol=2e-3, atol=2e-5)
+        torch_params["head.weight"].T, rtol=rtol, atol=atol)
     np.testing.assert_allclose(
         np.asarray(avt_params["head"]["bias"]),
-        torch_params["head.bias"], rtol=2e-3, atol=2e-5)
+        torch_params["head.bias"], rtol=rtol, atol=atol)
 
 
 def test_sgd_cosine_trajectory_vs_reference():
@@ -236,3 +236,92 @@ def test_adamw_multistep_trajectory_vs_reference():
     got_trace, got_params = _avt_trajectory(model, params, feats, labels, tx)
     np.testing.assert_allclose(got_trace, want_trace, rtol=5e-4, atol=1e-5)
     _assert_params_close(got_params, want_params)
+
+
+def test_adafactor_trajectory_vs_reference():
+    """The reference's adafactor is transformers.Adafactor instantiated
+    with per-group lr dicts (func/train.py:744), which bypasses the
+    manual-lr check — so with the default relative_step=True the
+    configured LR and every scheduler step are IGNORED: effective lr =
+    min(1e-2, 1/sqrt(t)) * max(1e-3, RMS(param)), and weight decay is
+    decoupled scaled by that same lr. The torch side below steps a wrapped
+    cosine scheduler anyway, proving both frameworks ignore it alike."""
+    import transformers
+
+    base_lr, wd = 0.05, 1e-2
+    ref, head, model, params = _make_models()
+    feats, labels = _make_batches()
+
+    def make_opt_sched(torch_params):
+        opt = transformers.Adafactor(
+            [{"params": torch_params, "lr": base_lr, "weight_decay": wd}])
+        base = ref_sched.CosineLR(opt, num_epochs=2, iters_per_epoch=IPE,
+                                  world_size=1, eta_min=0.0)
+        sched = ref_sched.Warmup(opt, scheduler=base, init_lr_ratio=0.1,
+                                 num_epochs=1, iters_per_epoch=IPE)
+        return opt, sched
+
+    want_trace, want_params = _torch_trajectory(
+        ref, head, feats, labels, make_opt_sched)
+
+    tx, _ = build_optimizer(
+        params, [["__all__", base_lr, wd]],
+        optimizer_name="adafactor", scheduler_name="cosine",
+        iters_per_epoch=IPE, num_epochs=3, warmup_epochs=1,
+        warmup_init_lr_ratio=0.1,
+    )
+    got_trace, got_params = _avt_trajectory(model, params, feats, labels, tx)
+    np.testing.assert_allclose(got_trace, want_trace, rtol=5e-4, atol=1e-5)
+    # adafactor's first step is sign-like (beta2t(1)=0 => update = g/|g|):
+    # gradient elements at float-noise level flip sign between frameworks,
+    # each flip costing ~2*lr on that element — atol reflects that noise
+    # floor; the exact update rule is pinned bit-tight on controlled
+    # gradients in test_adafactor_update_rule_vs_transformers
+    _assert_params_close(got_params, want_params, atol=4e-4)
+
+
+def test_adafactor_update_rule_vs_transformers():
+    """Bit-tight differential of the adafactor update rule itself on
+    CONTROLLED gradients (no model noise): factored (2D) and unfactored
+    (1D/scalar) params, relative-step lr, RMS parameter scale, clip
+    threshold, decoupled lr-scaled weight decay — 5 steps, rtol 1e-6."""
+    import transformers
+
+    from avt_tpu.train.optim import transformers_adafactor
+
+    rng = np.random.default_rng(3)
+    init = {
+        "w": rng.normal(size=(8, 6)).astype(np.float32) * 0.3,
+        "b": rng.normal(size=(5,)).astype(np.float32) * 0.01,
+        "s": np.asarray(0.7, np.float32),
+    }
+    grads = [
+        {k: rng.normal(size=v.shape).astype(np.float32)
+         for k, v in init.items()}
+        for _ in range(5)
+    ]
+    wd = 1e-2
+
+    # torch side, exactly as func/train.py builds it: per-group lr dicts
+    tparams = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+               for k, v in init.items()}
+    opt = transformers.Adafactor(
+        [{"params": list(tparams.values()), "lr": 0.123,
+          "weight_decay": wd}])
+    for g in grads:
+        opt.zero_grad()
+        for k in tparams:
+            tparams[k].grad = torch.from_numpy(g[k].copy())
+        opt.step()
+
+    tx = transformers_adafactor(lambda it: 0.123, weight_decay=wd)
+    params = {k: jnp.asarray(v) for k, v in init.items()}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(
+            {k: jnp.asarray(v) for k, v in g.items()}, state, params)
+        params = optax.apply_updates(params, updates)
+    for k in init:
+        np.testing.assert_allclose(
+            np.asarray(params[k]), tparams[k].detach().numpy(),
+            rtol=1e-6, atol=1e-7, err_msg=f"param {k}")
