@@ -576,9 +576,13 @@ def build_optimizer(
             transforms[label] = _base_optimizer(
                 optimizer_name, sched, wd * wd_scale, **optimizer_kwargs
             )
-            if scheduler_name == "reduce_lr_on_plateau":
+            if (scheduler_name == "reduce_lr_on_plateau"
+                    and optimizer_name != "adafactor"):
                 # host-stepped LR multiplier appended per group; floor
-                # encodes torch's absolute min_lr for THIS group's base lr
+                # encodes torch's absolute min_lr for THIS group's base lr.
+                # adafactor is excluded: transformers.Adafactor._get_lr
+                # ignores group['lr'] under relative_step, so the
+                # reference's plateau reduction is a no-op there
                 floor = scheduler_kwargs.get("min_lr", 0.0) / max(
                     lr * lr_scale, 1e-30
                 )
