@@ -325,3 +325,57 @@ def test_adafactor_update_rule_vs_transformers():
         np.testing.assert_allclose(
             np.asarray(params[k]), tparams[k].detach().numpy(),
             rtol=1e-6, atol=1e-7, err_msg=f"param {k}")
+
+
+def test_grad_clip_with_frozen_group_vs_reference_semantics():
+    """func/train.py:225-231 clips the global grad norm over the params
+    being OPTIMIZED only (lr==0 groups had requires_grad turned off at
+    :736-742, so they contribute neither gradients nor norm mass).
+    build_optimizer zeroes frozen grads before optax.clip_by_global_norm —
+    assert the two give identical multi-step SGD trajectories, with frozen
+    params frozen."""
+    rng = np.random.default_rng(5)
+    init = {
+        "feat": {"kernel": rng.normal(size=(6, 8)).astype(np.float32)},
+        "frozen": {"kernel": rng.normal(size=(4, 4)).astype(np.float32)},
+    }
+    # large grads so the clip (max_norm=1) is active every step
+    grads = [
+        {k: {"kernel": rng.normal(size=v["kernel"].shape)
+             .astype(np.float32) * 3}
+         for k, v in init.items()}
+        for _ in range(4)
+    ]
+    lr, wd, max_norm = 0.1, 1e-2, 1.0
+
+    # --- torch, the reference way
+    t_feat = torch.nn.Parameter(torch.from_numpy(init["feat"]["kernel"].copy()))
+    t_frozen = torch.nn.Parameter(
+        torch.from_numpy(init["frozen"]["kernel"].copy()))
+    t_frozen.requires_grad = False
+    opt = torch.optim.SGD([t_feat], lr=lr, momentum=0.9, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        t_feat.grad = torch.from_numpy(g["feat"]["kernel"].copy())
+        torch.nn.utils.clip_grad_norm_([t_feat], max_norm=max_norm)
+        opt.step()
+
+    # --- avt_tpu
+    params = jax.tree.map(jnp.asarray, init)
+    tx, _ = build_optimizer(
+        params, [["frozen", 0.0, 0.0], ["__all__", lr, wd]],
+        optimizer_name="sgd", scheduler_name="constant",
+        iters_per_epoch=10, num_epochs=10, grad_clip_max_norm=max_norm,
+    )
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(
+            jax.tree.map(jnp.asarray, g), state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["feat"]["kernel"]), t_feat.detach().numpy(),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(params["frozen"]["kernel"]), init["frozen"]["kernel"],
+        rtol=0, atol=0, err_msg="frozen group moved")
