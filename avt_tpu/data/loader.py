@@ -57,6 +57,7 @@ class DataLoader:
         rank: int = 0,
         world_size: int = 1,
         keys: Optional[list] = None,
+        sampler=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -68,12 +69,20 @@ class DataLoader:
         self.world_size = world_size
         self.epoch = 0
         self.keys = keys  # restrict returned keys (drop strings for jit)
+        # explicit index sampler (e.g. clip_samplers.*) — overrides the
+        # built-in shuffle/shard, like passing sampler= to torch DataLoader
+        # (the reference's video_clips path, func/train.py:606-658)
+        self.sampler = sampler
 
     def set_epoch(self, epoch: int):
         """Reshuffle differently each epoch (DistributedSampler parity)."""
         self.epoch = epoch
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
+        if self.sampler is not None:
+            return np.fromiter(iter(self.sampler), dtype=np.int64)
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:

@@ -17,9 +17,12 @@ runs (T <= ~16, L <= ~5) this is faster on the MXU than cache plumbing and
 keeps all shapes static. With output_len == 1 (all shipped reference
 configs) the loop vanishes: a single causal forward.
 
-Note: under dropout (train=True) the recomputed prefix re-samples masks per
-rollout step, unlike a KV cache; with output_len == 1 there is no rollout so
-training behavior matches the reference exactly.
+Rollout dropout fidelity: with output_len > 1 AND dropout > 0 the rollout
+switches to position-stable dropout (layers.position_stable_dropout) — one
+key shared by every pass, masks a function of token position only — so the
+recomputed prefix is bit-identical to what a KV cache would have reused.
+Training at rollout > 1 with dropout therefore matches the reference's
+cache semantics exactly (test_models.test_rollout_dropout_cache_equiv).
 """
 from __future__ import annotations
 
@@ -83,6 +86,10 @@ class AVTh(nn.Module):
       drop_last_n: debug truncation of the input sequence.
       quantize_before_rollout: argmax+re-encode feedback (embedding mode).
       centroids: optional (K, C) array enabling assign-to-centroids mode.
+      output_attentions: export per-rollout-step attention maps as
+        endpoints gpt2_att_<k> shaped (B, n_layer, n_head, Tq_k, Tk_k) —
+        the reference's HF output_attentions passthrough
+        (future_prediction.py:89-93,184-188).
     """
 
     in_features: int
@@ -102,6 +109,7 @@ class AVTh(nn.Module):
     quantize_before_rollout: bool = False
     num_cluster_centers: int = 50000
     centroids: Optional[Any] = None  # (K, C) array for on-the-fly assignment
+    output_attentions: bool = False
     dtype: Optional[Any] = None  # GPT core compute dtype (params stay f32)
 
     def setup(self):
@@ -169,23 +177,6 @@ class AVTh(nn.Module):
                 f"output_len must be >= 1 (got {output_len}); the reference "
                 "errors on <1 too (empty concat)"
             )
-        if (
-            train
-            and output_len > 1
-            and max(self.embd_pdrop, self.attn_pdrop, self.resid_pdrop) > 0
-        ):
-            # static condition -> fires once per trace, not per step
-            import warnings
-
-            warnings.warn(
-                "AVTh: training with output_len > 1 AND dropout > 0 — the "
-                "static-recompute rollout re-samples dropout masks per "
-                "rollout step, unlike the reference's KV cache which reuses "
-                "them. Expected gradients differ; set dropouts to 0 or "
-                "output_len to 1 for reference-faithful training.",
-                stacklevel=2,
-            )
-
         full_inp_feats = feats
         if self.assigner is not None:
             feats = self.assigner.feat2cluster(feats)[..., None]
@@ -205,16 +196,46 @@ class AVTh(nn.Module):
         orig_feats_encoded = encoded
 
         # --- static recompute rollout ------------------------------------
+        # Position-stable dropout: ONE key shared by every pass makes the
+        # recomputed prefix bit-identical to a KV cache's reused states.
+        t_max = T0 + L - 1
+        dkey = None
+        if (
+            train
+            and L > 1
+            and max(self.embd_pdrop, self.attn_pdrop, self.resid_pdrop) > 0
+        ):
+            dkey = self.make_rng("dropout")
         # buffer of input embeddings: [encoded feats | fed-back states]
         buf = encoded
         for k in range(1, L):
-            hidden_k = self.gpt(buf, train=train)  # (B, T0+k-1, d)
+            hidden_k = self.gpt(
+                buf, train=train, dropout_key=dkey, t_max=t_max
+            )  # (B, T0+k-1, d)
             last = hidden_k[:, -1:, :]
             if self.quantize_before_rollout:
                 assert self.quantized_input
                 last = self.encoder(jnp.argmax(self._decode(last), axis=-1))
             buf = jnp.concatenate([buf, last], axis=1)
-        hidden = self.gpt(buf, train=train)  # (B, T0+L-1, d) == cat(all_outputs)
+        hidden = self.gpt(
+            buf,
+            train=train,
+            dropout_key=dkey,
+            t_max=t_max,
+            output_attentions=self.output_attentions,
+        )  # (B, T0+L-1, d) == cat(all_outputs)
+        if self.output_attentions:
+            # Per-step maps, sliced from the final pass (recompute == cache,
+            # so these equal what each rollout step's forward saw): step 0 is
+            # the full (T0, T0) causal block, step k >= 1 is the single new
+            # query over its T0+k visible keys — the exact shapes HF returns
+            # under past_key_values (reference future_prediction.py:184-188).
+            hidden, probs = hidden
+            endpoints["gpt2_att_0"] = probs[..., :T0, :T0]
+            for k in range(1, L):
+                endpoints[f"gpt2_att_{k}"] = probs[
+                    ..., T0 + k - 1 : T0 + k, : T0 + k
+                ]
         decoded = self._decode(hidden)
 
         # --- teacher-forced future prediction loss ------------------------

@@ -27,6 +27,43 @@ def gelu_new(x: jax.Array) -> jax.Array:
     )
 
 
+def position_stable_dropout(
+    x: jax.Array, key: jax.Array, rate: float, t_max: int
+) -> jax.Array:
+    """Dropout whose mask depends on (batch, position, channel) but NOT on
+    the live sequence length: the mask for the full t_max-token buffer is
+    sampled once from `key` and sliced to the current prefix.
+
+    This reproduces the reference's KV-cache dropout semantics for the AVTh
+    rollout (future_prediction.py:168-202): with a cache, token t's
+    activations are dropout-masked once — at the step that processed token t
+    — and reused; with our static recompute, re-running the prefix under a
+    position-stable mask regenerates bit-identical activations, so
+    recompute == cache exactly, even under train-time dropout.
+    """
+    if rate == 0.0:
+        return x
+    B, T, C = x.shape
+    keep = jax.random.bernoulli(key, 1.0 - rate, (B, t_max, C))[:, :T]
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def _explicit_attention_probs(q, k, causal):
+    """Softmax attention probabilities, (B, H, Tq, Tk).
+
+    Used only when attention maps are exported (gpt2_att_* endpoints,
+    reference future_prediction.py:184-188); the fused kernels never
+    materialize the (T, T) probabilities.
+    """
+    head_dim = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
+    if causal:
+        Tq, Tk = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((Tq, Tk), dtype=bool), k=Tk - Tq)
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention with fused qkv projection.
 
@@ -43,7 +80,16 @@ class SelfAttention(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, mask=None):
+    def __call__(
+        self,
+        x,
+        *,
+        train: bool = False,
+        mask=None,
+        output_attentions: bool = False,
+        dropout_key=None,
+        t_max: Optional[int] = None,
+    ):
         B, T, C = x.shape
         out_dim = self.out_features or C
         head_dim = C // self.num_heads
@@ -52,14 +98,36 @@ class SelfAttention(nn.Module):
         q = q.reshape(B, T, self.num_heads, head_dim)
         k = k.reshape(B, T, self.num_heads, head_dim)
         v = v.reshape(B, T, self.num_heads, head_dim)
-        out = dot_product_attention(q, k, v, causal=self.causal, mask=mask)
+        probs = None
+        if output_attentions:
+            # explicit path that materializes the probabilities; only used
+            # for attention-map export (viz mode), never on the hot path
+            probs = _explicit_attention_probs(q, k, self.causal)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        else:
+            out = dot_product_attention(q, k, v, causal=self.causal, mask=mask)
         # attn_dropout on probabilities is not expressible with the fused
         # kernel; dropping out the attention OUTPUT instead has very similar
         # regularization behavior and keeps the kernel fused.
-        out = nn.Dropout(self.attn_dropout, deterministic=not train)(out)
-        out = out.reshape(B, T, C)
+        if dropout_key is not None and train:
+            out = position_stable_dropout(
+                out.reshape(B, T, C),
+                jax.random.fold_in(dropout_key, 0),
+                self.attn_dropout,
+                t_max,
+            )
+        else:
+            out = nn.Dropout(self.attn_dropout, deterministic=not train)(out)
+            out = out.reshape(B, T, C)
         out = nn.Dense(out_dim, kernel_init=self.proj_init, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(self.resid_dropout, deterministic=not train)(out)
+        if dropout_key is not None and train:
+            out = position_stable_dropout(
+                out, jax.random.fold_in(dropout_key, 1), self.resid_dropout, t_max
+            )
+        else:
+            out = nn.Dropout(self.resid_dropout, deterministic=not train)(out)
+        if output_attentions:
+            return out, probs
         return out
 
 
@@ -81,9 +149,17 @@ class GPT2Block(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(
+        self,
+        x,
+        *,
+        train: bool = False,
+        output_attentions: bool = False,
+        dropout_key=None,
+        t_max: Optional[int] = None,
+    ):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
-        x = x + SelfAttention(
+        attn_out = SelfAttention(
             num_heads=self.num_heads,
             causal=True,
             attn_dropout=self.attn_dropout,
@@ -92,7 +168,21 @@ class GPT2Block(nn.Module):
             proj_init=GPT2_INIT,
             dtype=self.dtype,
             name="attn",
-        )(h, train=train)
+        )(
+            h,
+            train=train,
+            output_attentions=output_attentions,
+            dropout_key=(
+                jax.random.fold_in(dropout_key, 0)
+                if dropout_key is not None
+                else None
+            ),
+            t_max=t_max,
+        )
+        probs = None
+        if output_attentions:
+            attn_out, probs = attn_out
+        x = x + attn_out
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(
             self.mlp_ratio * x.shape[-1], kernel_init=GPT2_INIT,
@@ -103,8 +193,16 @@ class GPT2Block(nn.Module):
             x.shape[-1], kernel_init=GPT2_INIT, dtype=self.dtype,
             name="mlp_proj",
         )(h)
-        h = nn.Dropout(self.resid_dropout, deterministic=not train)(h)
-        return x + h
+        if dropout_key is not None and train:
+            h = position_stable_dropout(
+                h, jax.random.fold_in(dropout_key, 1), self.resid_dropout, t_max
+            )
+        else:
+            h = nn.Dropout(self.resid_dropout, deterministic=not train)(h)
+        out = x + h
+        if output_attentions:
+            return out, probs
+        return out
 
 
 class GPT2Core(nn.Module):
@@ -126,14 +224,34 @@ class GPT2Core(nn.Module):
     dtype: Optional[Any] = None  # compute dtype (e.g. bf16); params f32
 
     @nn.compact
-    def __call__(self, inputs_embeds, *, train: bool = False, position_offset: int = 0):
+    def __call__(
+        self,
+        inputs_embeds,
+        *,
+        train: bool = False,
+        position_offset: int = 0,
+        output_attentions: bool = False,
+        dropout_key=None,
+        t_max: Optional[int] = None,
+    ):
+        """dropout_key/t_max: position-stable rollout dropout — pass the SAME
+        key for every forward of a growing rollout buffer and masks become a
+        function of token position only, making recompute == KV cache.
+        output_attentions: additionally return per-layer attention
+        probabilities stacked (B, n_layer, n_head, T, T)."""
         B, T, C = inputs_embeds.shape
         wpe = self.param("wpe", GPT2_INIT, (self.n_positions, C))
         pos = jax.lax.dynamic_slice_in_dim(wpe, position_offset, T, axis=0)
         x = inputs_embeds + pos[None]
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = nn.Dropout(self.embd_dropout, deterministic=not train)(x)
+        if dropout_key is not None and train:
+            x = position_stable_dropout(
+                x, jax.random.fold_in(dropout_key, 0), self.embd_dropout, t_max
+            )
+        else:
+            x = nn.Dropout(self.embd_dropout, deterministic=not train)(x)
+        all_probs = []
         for i in range(self.n_layer):
             x = GPT2Block(
                 num_heads=self.n_head,
@@ -142,9 +260,27 @@ class GPT2Core(nn.Module):
                 ln_eps=self.ln_eps,
                 dtype=self.dtype,
                 name=f"h_{i}",
-            )(x, train=train)
+            )(
+                x,
+                train=train,
+                output_attentions=output_attentions,
+                dropout_key=(
+                    jax.random.fold_in(dropout_key, 1 + i)
+                    if dropout_key is not None
+                    else None
+                ),
+                t_max=t_max,
+            )
+            if output_attentions:
+                x, probs = x
+                all_probs.append(probs)
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_f")(x)
-        return x.astype(jnp.float32) if self.dtype is not None else x
+        out = x.astype(jnp.float32) if self.dtype is not None else x
+        if output_attentions:
+            # (B, n_layer, n_head, T, T) — the reference's stack+transpose
+            # layout (future_prediction.py:185-188)
+            return out, jnp.stack(all_probs, axis=1)
+        return out
 
 
 def sincos_positional_encoding(max_len: int, d_model: int) -> jnp.ndarray:

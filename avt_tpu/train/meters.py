@@ -61,6 +61,34 @@ class SmoothedValue:
         )
 
 
+def host_rss_mb() -> float:
+    """Resident-set size of this process in MB (the reference's CPU memory
+    gauge, func/train.py:113-115 via psutil; /proc avoids the dep)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def device_hbm_mb() -> Optional[float]:
+    """Device bytes-in-use in MB (the reference's CUDA max-mem readout,
+    common/log.py:181). None when the backend exposes no memory_stats
+    (e.g. CPU)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return stats["bytes_in_use"] / (1024.0 * 1024.0)
+    except Exception:  # tunnel backends may not implement memory_stats
+        pass
+    return None
+
+
 def make_tb_writer(log_dir: str, rank: int = 0):
     """Rank-0-only tensorboardX writer (common/log.py:218-223 parity)."""
     if rank != 0:
@@ -145,9 +173,14 @@ class MetricLogger:
                 eta = (
                     iter_time.global_avg * (total - i) if total else float("nan")
                 )
+                hbm = device_hbm_mb()
+                mem = f"mem {host_rss_mb():.0f}MB" + (
+                    f" hbm {hbm:.0f}MB" if hbm is not None else ""
+                )
                 self.logger.info(
-                    "%s [%d/%s] eta %.0fs %s iter_t %.3fs data_t %.3fs",
-                    header, i, tot, eta, str(self), iter_time.avg, data_time.avg,
+                    "%s [%d/%s] eta %.0fs %s iter_t %.3fs data_t %.3fs %s",
+                    header, i, tot, eta, str(self), iter_time.avg,
+                    data_time.avg, mem,
                 )
             i += 1
             end = time.time()

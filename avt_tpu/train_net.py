@@ -107,6 +107,17 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     keys = ["video", "target", "target_subclips", "idx", "uid"] + [
         f"future_{i}_video" for i in range(n_futures)
     ]
+    # clip samplers for VideoClips-style datasets (func/train.py:606-634);
+    # (None, {None}) for every shipped AVT dataset -> built-in shuffle/shard
+    from avt_tpu.data.clip_samplers import build_clip_samplers
+
+    train_sampler, eval_samplers = build_clip_samplers(
+        train_dataset, eval_datasets,
+        train_bs_multiplier=cfg["data_train"].get("train_bs_multiplier", 5),
+        val_clips_per_video=cfg["data_eval"].get("val_clips_per_video", 1),
+        rank=jax.process_index(), world_size=world_size,
+        shuffle_data=cfg["train"].get("shuffle_data", True),
+    )
     train_loader = DataLoader(
         train_dataset,
         batch_size,
@@ -117,12 +128,14 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         rank=jax.process_index(),
         world_size=world_size,
         keys=keys,
+        sampler=train_sampler,
     )
     eval_loaders = {
         suffix: DataLoader(
             ds, eval_bs, shuffle=False, drop_last=False,
             num_workers=cfg["data_eval"].get("workers", 8),
             rank=jax.process_index(), world_size=world_size, keys=keys,
+            sampler=eval_samplers[suffix],
         )
         for suffix, ds in eval_datasets.items()
     }

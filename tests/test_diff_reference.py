@@ -363,6 +363,64 @@ def test_avth_vs_reference(output_len, avg_last_n, return_past):
     )
 
 
+@pytest.mark.parametrize("output_len", [1, 3])
+def test_avth_gpt2_att_endpoints_vs_reference(output_len):
+    """gpt2_att_<step> attention-map endpoints vs the reference AVTh run
+    with output_attentions=True (future_prediction.py:184-188): per rollout
+    step the HF model returns per-layer post-softmax probabilities which the
+    reference stacks to (B, n_layer, n_head, Tq, Tk) — step 0 the full
+    causal block, step k >= 1 the single new query over T0+k keys."""
+    import jax
+    from avt_tpu.models.future import AVTh
+    from avt_tpu.models.import_torch import avt_checkpoint_to_flax, merge_params
+
+    in_features, inter_dim, n_layer, n_head = 24, 32, 2, 2
+    torch.manual_seed(11)
+    ref = ref_future.AVTh(
+        in_features=in_features, inter_dim=inter_dim,
+        output_len=output_len, n_layer=n_layer, n_head=n_head,
+        output_attentions=True,
+    ).eval()
+    # the reference pins transformers 4.2.2 (eager-only); the modern HF in
+    # this env defaults to sdpa, whose attentions come back None — force the
+    # eager path the reference actually ran with
+    ref.gpt_model.config._attn_implementation = "eager"
+    sd = {
+        f"future_predictor.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+    }
+    converted = avt_checkpoint_to_flax(sd)
+
+    model = AVTh(
+        in_features=in_features, inter_dim=inter_dim,
+        n_layer=n_layer, n_head=n_head, output_len=output_len,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        output_attentions=True,
+    )
+    feats = RNG.normal(size=(2, 6, in_features)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    merged = merge_params(init["params"], converted["future_predictor"])
+    _past, final, _losses, endpoints = model.apply(
+        {"params": merged}, jnp.asarray(feats)
+    )
+    with torch.no_grad():
+        _t_past, t_final, _t_losses, t_endpoints = ref(
+            torch.from_numpy(feats), target_shape=(2,)
+        )
+    assert sorted(endpoints) == sorted(t_endpoints) == [
+        f"gpt2_att_{k}" for k in range(output_len)
+    ]
+    for k in range(output_len):
+        want = t_endpoints[f"gpt2_att_{k}"].numpy()
+        got = np.asarray(endpoints[f"gpt2_att_{k}"])
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(final), t_final.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_avth_drop_last_n_and_output_len_eval_vs_reference():
     """Two remaining AVTh config edges: drop_last_n input truncation
     (future_prediction.py:151-158) and the eval-time output_len_eval

@@ -423,3 +423,69 @@ def test_avt_model_multicrop_batched_matches_per_crop_full():
     np.testing.assert_allclose(
         np.asarray(aux["feat"]), want_feat, rtol=1e-5, atol=1e-5
     )
+
+
+def test_rollout_dropout_cache_equiv():
+    """Position-stable rollout dropout == KV-cache semantics.
+
+    The property that makes the static-recompute rollout faithful to the
+    reference's cached rollout under train-time dropout
+    (future_prediction.py:168-202): with one shared dropout key, the GPT
+    core's output for a PREFIX equals the corresponding slice of the output
+    for the FULL buffer — i.e. recomputing earlier tokens regenerates
+    bit-identical activations, exactly what a KV cache would have reused.
+    """
+    from avt_tpu.models.layers import GPT2Core
+
+    core = GPT2Core(
+        n_layer=2, n_head=4, embd_dropout=0.3, attn_dropout=0.3,
+        resid_dropout=0.3,
+    )
+    B, T, C = 2, 8, 64
+    x = jnp.asarray(RNG.normal(size=(B, T, C)).astype(np.float32))
+    params = core.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x,
+    )
+    dkey = jax.random.PRNGKey(42)
+    full = core.apply(
+        params, x, train=True, dropout_key=dkey, t_max=T,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    for t in (3, 5, 7):
+        prefix = core.apply(
+            params, x[:, :t], train=True, dropout_key=dkey, t_max=T,
+            rngs={"dropout": jax.random.PRNGKey(3)},  # unused under PSD
+        )
+        # identical masks + identical math; only reduction-order rounding
+        # differs between the (B,t,*) and (B,T,*) softmax shapes
+        np.testing.assert_allclose(
+            np.asarray(prefix), np.asarray(full[:, :t]), rtol=1e-5, atol=1e-6
+        )
+    # sanity: dropout is actually active (train != eval output)
+    ev = core.apply(params, x, train=False)
+    assert not np.allclose(np.asarray(ev), np.asarray(full))
+
+
+def test_avth_rollout_with_dropout_trains():
+    """AVTh output_len=3 + dropout>0: rollout runs, loss is finite, and the
+    forward is deterministic given the rng (masks keyed off position, so
+    the recompute passes agree with each other)."""
+    model = _avth(output_len=3, avg_last_n=-1)
+    model = model.replace(embd_pdrop=0.2, attn_pdrop=0.2, resid_pdrop=0.2)
+    feats = jnp.asarray(RNG.normal(size=(2, 6, 1024)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feats,
+    )
+    r = {"dropout": jax.random.PRNGKey(5)}
+    past1, fin1, losses1, _ = model.apply(params, feats, train=True, rngs=r)
+    past2, fin2, losses2, _ = model.apply(params, feats, train=True, rngs=r)
+    np.testing.assert_array_equal(np.asarray(fin1), np.asarray(fin2))
+    np.testing.assert_array_equal(np.asarray(past1), np.asarray(past2))
+    assert np.isfinite(np.asarray(losses1["feat"])).all()
+    # different rng -> different masks
+    fin3 = model.apply(
+        params, feats, train=True, rngs={"dropout": jax.random.PRNGKey(6)}
+    )[1]
+    assert not np.allclose(np.asarray(fin1), np.asarray(fin3))
