@@ -980,3 +980,214 @@ def test_dense_clip_sampler_vs_reference(monkeypatch):
             want_df[col].to_numpy(dtype=float), rtol=1e-9, err_msg=col,
         )
     assert list(got_df["action_class"]) == list(want_df["action_class"])
+
+
+# --------------------------------- full-composition gradient differential
+@pytest.mark.parametrize(
+    "variant", ["past_classifier", "cls_mappings", "nce_regression"])
+def test_full_composition_grads_vs_reference(variant):
+    """d(loss)/d(params) through the FULL composition — backbone -> agg ->
+    clip unfold -> AVTh -> past-classifier / cls-mapping marginalization /
+    project MLP + regression head -> Basic-op losses weighted by loss_wts
+    (func/train.py:207-217) — vs torch autograd on the reference BaseModel
+    with the same converted weights and batch (VERDICT r2 weak item 2).
+
+    Torch grads convert to our tree through the same avt_checkpoint_to_flax
+    used for weights (every transform is a transpose/reshape, so it maps
+    gradients identically), giving a leaf-for-leaf comparison that covers
+    EVERY parameter of the model.
+    """
+    import jax
+    from avt_tpu.losses.mse import normed_mse
+    from avt_tpu.models import (
+        AVTh,
+        AVTModel,
+        IdentityAgg,
+        IdentityBackbone,
+        LinearClassifier,
+    )
+    from avt_tpu.models.import_torch import avt_checkpoint_to_flax, merge_params
+    from avt_tpu.train.step import weighted_loss_sum
+
+    ref_bm = ref_harness.import_ref("models.base_model")
+
+    B, clips, crops, C = 2, 10, 2, 24
+    n_act, n_verb = 6, 3
+    inter, n_layer, n_head = 32, 2, 2
+    use_maps = variant == "cls_mappings"
+    on_past = variant == "past_classifier"
+    nce = variant == "nce_regression"
+    cfg = _AttrDict(
+        backbone={"_target_": "torch.nn.Identity"},
+        backbone_last_n_modules_to_drop=0,
+        backbone_dim=C,
+        intermediate_featdim=None,
+        temporal_aggregator={
+            "_target_": "models.temporal_aggregation.Identity"
+        },
+        same_temp_agg_dim=False,
+        future_predictor={
+            "_target_": "models.future_prediction.AVTh",
+            "output_len": 1, "avg_last_n": 1, "return_past_too": True,
+            "inter_dim": inter, "n_layer": n_layer, "n_head": n_head,
+            "future_pred_loss": {"_target_": "loss_fn.mse.NormedMSE"},
+        },
+        project_dim_for_nce=16 if nce else None,
+        temporal_aggregator_after_future_pred={
+            "_target_": "models.temporal_aggregation.Identity"
+        },
+        dropout=0.0,
+        use_cls_mappings=use_maps,
+        classifier={"_target_": "torch.nn.Linear"},
+        add_regression_head=nce,
+        classifier_on_past=on_past,
+        bn=_AttrDict(eps=1e-5, mom=0.1),
+    )
+    via = np.zeros((n_act, n_verb), np.float32)
+    for a in range(n_act):
+        via[a, a % n_verb] = 1.0
+    torch.manual_seed(23)
+    ref = ref_bm.BaseModel(
+        cfg,
+        num_classes={"action": n_act, "verb": n_verb},
+        class_mappings={("verb", "action"): torch.from_numpy(via)},
+    ).eval()
+    sd = {
+        k: v.detach().numpy() for k, v in ref.state_dict().items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+    }
+    converted = avt_checkpoint_to_flax(sd)
+
+    classifiers = {"action": LinearClassifier(out_features=n_act)}
+    if not use_maps:
+        classifiers["verb"] = LinearClassifier(out_features=n_verb)
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=C),
+        future_predictor=AVTh(
+            in_features=C, inter_dim=inter, n_layer=n_layer, n_head=n_head,
+            output_len=1, avg_last_n=1, return_past_too=True,
+            embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+            future_pred_loss=lambda p, t: normed_mse(p, t, reduction="none"),
+        ),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=C),
+        classifiers=classifiers,
+        num_classes=(("action", n_act), ("verb", n_verb)),
+        class_mappings=((("verb", "action"), via),),
+        backbone_dim=C,
+        dropout=0.0,
+        use_cls_mappings=use_maps,
+        classifier_on_past=on_past,
+        project_dim_for_nce=16 if nce else None,
+        add_regression_head=nce,
+    )
+
+    video = RNG.normal(size=(B, clips, crops, C, 1, 1, 1)).astype(np.float32)
+    target_np = {
+        "action": RNG.integers(0, n_act, size=(B,)),
+        "verb": RNG.integers(0, n_verb, size=(B,)),
+    }
+    target_np["verb"][0] = -1  # exercise ignore_index through the backward
+    subclips_np = None
+    if on_past:
+        subclips_np = {
+            "action": RNG.integers(-1, n_act, size=(B, clips, 3)),
+            "verb": RNG.integers(-1, n_verb, size=(B, clips, 3)),
+        }
+    fut_tgt = (
+        RNG.normal(size=(B, clips, 16)).astype(np.float32) if nce else None
+    )
+
+    loss_wts = {
+        "cls_action": 1.0, "cls_verb": 0.4, "feat": 0.8,
+        "past_cls_action": 0.6, "past_cls_verb": 0.3,
+        "reg": 0.7, "regm": 0.5,
+    }
+
+    # ---- torch side: Basic-op losses + weighted sum + autograd
+    ref_loss_fn = ref_ops.BasicLossAccuracy(dataset=None, device="cpu")
+    t_out, t_aux = ref(torch.from_numpy(video), target_shape=(B,))
+    t_losses, _ = ref_loss_fn(
+        t_out, {k: torch.from_numpy(v) for k, v in target_np.items()},
+        {k: torch.from_numpy(v) for k, v in subclips_np.items()}
+        if subclips_np else None,
+    )
+    t_losses.update(t_aux)
+    if nce:
+        # symmetric extra losses driving the NCE projection + regression
+        # head (the Basic op has no reg loss; PredFutureFeat grads are
+        # pinned elsewhere — this pins the project_mlp/regression_head
+        # gradient PATH through the full composition)
+        t_losses["reg"] = ref_mse.NormedMSE(reduction="none")(
+            t_out["future_projected"], torch.from_numpy(fut_tgt)
+        )
+        t_losses["regm"] = t_out["logits_regression"].pow(2)
+    total_t = sum(
+        loss_wts[k] * v.mean() for k, v in t_losses.items()
+    )
+    total_t.backward()
+    grad_sd = {}
+    for name, prm in ref.named_parameters():
+        if name.endswith(".attn.bias") or name.endswith(".attn.masked_bias"):
+            continue
+        grad_sd[name] = (
+            prm.grad.numpy() if prm.grad is not None
+            else np.zeros(prm.shape, np.float32)
+        )
+    want_grads = avt_checkpoint_to_flax(grad_sd)
+
+    # ---- jax side: same losses, jax.grad over the converted weights
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(video), (B,))
+    merged = merge_params(params["params"], converted)
+
+    def loss_fn(p):
+        outputs, aux = model.apply({"params": p}, jnp.asarray(video), (B,))
+        losses, _ = basic_loss_accuracy(
+            outputs,
+            {k: jnp.asarray(v) for k, v in target_np.items()},
+            {k: jnp.asarray(v) for k, v in subclips_np.items()}
+            if subclips_np else None,
+            num_classes={"action": n_act, "verb": n_verb},
+        )
+        losses.update(aux)
+        if nce:
+            losses["reg"] = normed_mse(
+                outputs["future_projected"], jnp.asarray(fut_tgt),
+                reduction="none",
+            )
+            losses["regm"] = outputs["logits_regression"] ** 2
+        total, _ = weighted_loss_sum(
+            losses, {k: loss_wts[k] for k in losses}
+        )
+        return total
+
+    total_j, got_grads = jax.value_and_grad(loss_fn)(merged)
+    np.testing.assert_allclose(
+        float(total_j), float(total_t.detach()), rtol=1e-5, atol=1e-6
+    )
+
+    # ---- leaf-for-leaf comparison, asserting full coverage
+    def walk(want, got, path=""):
+        n = 0
+        for key, val in want.items():
+            assert key in got, f"missing grad subtree {path}{key}"
+            if isinstance(val, dict):
+                n += walk(val, got[key], path + key + "/")
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got[key]), np.asarray(val),
+                    rtol=1e-4, atol=1e-4, err_msg=f"grad {path}{key}",
+                )
+                n += 1
+        return n
+
+    def count(tree):
+        return sum(
+            count(v) if isinstance(v, dict) else 1 for v in tree.values()
+        )
+
+    compared = walk(want_grads, got_grads)
+    assert compared == count(got_grads), (
+        f"compared {compared} leaves but model has {count(got_grads)} — "
+        "some parameter's gradient was never checked"
+    )
