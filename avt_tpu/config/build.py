@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
+import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -52,6 +54,43 @@ def build_preprocessor(data_cfg: Dict):
     )
 
 
+def build_preprocess_fns(cfg: Dict):
+    """Device-side preprocess fns for the raw-video path.
+
+    Returns (train_pp_fn(frames, rng), eval_pp_fn(frames)) mapping raw
+    uint8 (B, T, H, W, 3) batches to the model contract: train applies the
+    fused augment pipeline + subclip fold; eval produces
+    (B, #clips, #crops, 3, T', cs, cs) with all crop views stacked.
+    Mirrors the reference transform build (func/train.py:550-584) the way
+    train_net.main wires it; shared with the expt build-and-step matrix.
+    """
+    import jax.numpy as jnp
+
+    from avt_tpu.data.transforms import fold_subclips
+
+    pp_train = build_preprocessor(cfg["data_train"])
+    pp_eval = build_preprocessor(cfg["data_eval"])
+    sub_tr = cfg["data_train"].get("subclips") or {}
+    n_tr = sub_tr.get("num_frames") or cfg["data_train"]["num_frames"]
+    s_tr = sub_tr.get("stride") or cfg["data_train"]["num_frames"]
+    sub_ev = cfg["data_eval"].get("subclips") or {}
+    n_ev = sub_ev.get("num_frames") or cfg["data_eval"]["num_frames"]
+    s_ev = sub_ev.get("stride") or cfg["data_eval"]["num_frames"]
+
+    def train_pp_fn(frames, rng):
+        return fold_subclips(pp_train.train_fn(frames, rng), n_tr, s_tr)
+
+    def eval_pp_fn(frames):
+        crops = pp_eval.eval_fn(frames)  # (B, #crops, 3, T, cs, cs)
+        folded = [
+            fold_subclips(crops[:, i], n_ev, s_ev)
+            for i in range(crops.shape[1])
+        ]  # each (B, #clips, 3, T', cs, cs)
+        return jnp.stack(folded, axis=2)  # (B, #clips, #crops, 3, T', ..)
+
+    return train_pp_fn, eval_pp_fn
+
+
 def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
     """Dataset from its config group + the data config.
 
@@ -59,6 +98,15 @@ def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
     from the data cfg (num_frames -> frames_per_clip, subclips, seg labels).
     """
     cfg = dict(dataset_cfg)
+    # _precomputed_metadata_file: load cached VideoClips metadata if present,
+    # save it after construction otherwise (reference datasets/data.py:22-29,
+    # 54-55). Only meaningful for torchvision-style video_clips datasets;
+    # stored as a pickle (the reference uses torch.save of a plain dict).
+    precomp_fpath = cfg.pop("_precomputed_metadata_file", None)
+    precomp_kwargs = {}
+    if precomp_fpath and os.path.exists(precomp_fpath):
+        with open(precomp_fpath, "rb") as f:
+            precomp_kwargs["_precomputed_metadata"] = pickle.load(f)
     reader_cfg = cfg.pop("reader_fn", None)
     reader = (
         instantiate(reader_cfg)
@@ -103,9 +151,21 @@ def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
             ar["bundle_entry_to_vname_fn"] = resolve_target(bfn)
         kwargs["annot_reader_fn"] = instantiate(ar, _partial_=True)
     kwargs.update({k: v for k, v in cfg.items() if k != "_target_"})
+    kwargs.update(precomp_kwargs)
     target = resolve_target(cfg["_target_"])
-    return target(**{k: v for k, v in kwargs.items() if v is not None or k in (
+    ds = target(**{k: v for k, v in kwargs.items() if v is not None or k in (
         "frame_rate", "transform", "conv_to_anticipate_fn")})
+    # torchvision-style datasets: recompute clip windows for this config's
+    # frame count/rate (reference data.py:45-51; no shipped AVT dataset
+    # exposes video_clips, the clip-sampler surface covers the contract)
+    if hasattr(ds, "video_clips"):
+        ds.video_clips.compute_clips(
+            num_frames, 1, frame_rate=data_cfg.get("frame_rate")
+        )
+    if precomp_fpath and not os.path.exists(precomp_fpath):
+        with open(precomp_fpath, "wb") as f:
+            pickle.dump(ds.metadata, f)
+    return ds
 
 
 def _build_dense_sampler(dense_cfg: Dict, root) -> Any:

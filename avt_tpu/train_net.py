@@ -149,29 +149,9 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     raw_video = video0.ndim == 5 and video0.shape[-1] == 3
     train_pp_fn = eval_pp_fn = None
     if raw_video:
-        from avt_tpu.config.build import build_preprocessor
-        from avt_tpu.data.transforms import fold_subclips
+        from avt_tpu.config.build import build_preprocess_fns
 
-        pp_train = build_preprocessor(cfg["data_train"])
-        pp_eval = build_preprocessor(cfg["data_eval"])
-        sub_tr = cfg["data_train"].get("subclips") or {}
-        n_tr = sub_tr.get("num_frames") or cfg["data_train"]["num_frames"]
-        s_tr = sub_tr.get("stride") or cfg["data_train"]["num_frames"]
-        sub_ev = cfg["data_eval"].get("subclips") or {}
-        n_ev = sub_ev.get("num_frames") or cfg["data_eval"]["num_frames"]
-        s_ev = sub_ev.get("stride") or cfg["data_eval"]["num_frames"]
-
-        def train_pp_fn(frames, rng):
-            return fold_subclips(pp_train.train_fn(frames, rng), n_tr, s_tr)
-
-        def eval_pp_fn(frames):
-            crops = pp_eval.eval_fn(frames)  # (B, #crops, 3, T, cs, cs)
-            folded = [
-                fold_subclips(crops[:, i], n_ev, s_ev)
-                for i in range(crops.shape[1])
-            ]  # each (B, #clips, 3, T', cs, cs)
-            return jnp.stack(folded, axis=2)  # (B, #clips, #crops, 3, T', ..)
-
+        train_pp_fn, eval_pp_fn = build_preprocess_fns(cfg)
         video0 = train_pp_fn(video0, jax.random.PRNGKey(0))
 
     params = model.init(

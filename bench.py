@@ -23,14 +23,16 @@ import sys
 import time
 
 V100_CLIPS_PER_SEC_EST = 20.0
-# clips per step; overridable for A/B runs (AVT_BENCH_B=32 python bench.py)
-B = int(os.environ.get("AVT_BENCH_B", "16"))
-K = int(os.environ.get("AVT_BENCH_K", "16"))  # train steps per dispatch
-T, H, W = 10, 256, 342
-N_CLS = 3806
 # 'train' (default; the driver's headline metric) or 'eval' (the 3-crop
 # + flip challenge-submission forward, models/base.py batched-crop path)
 MODE = os.environ.get("AVT_BENCH_MODE", "train")
+# clips per step; overridable for A/B runs (AVT_BENCH_B=32 python bench.py).
+# Train: B=16 beat 24/32 (ledger, CLAUDE.md). Eval: B=32 measured best
+# (63.96 vs 62.63 clips/s at 16; 64 OOMs the 16GB chip) — .bench sweep r3.
+B = int(os.environ.get("AVT_BENCH_B", "16" if MODE == "train" else "32"))
+K = int(os.environ.get("AVT_BENCH_K", "16" if MODE == "train" else "8"))
+T, H, W = 10, 256, 342
+N_CLS = 3806
 
 
 def log(msg):

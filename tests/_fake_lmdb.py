@@ -10,6 +10,14 @@ Implements exactly the API surface used by the RULSTM feature readers
 plus `write=True` transactions with `txn.put` so tests can build fixture
 stores. Storage is one pickle file `<path>/data.pkl` mapping bytes->bytes.
 Not remotely a real LMDB — just enough to execute the readers' code paths.
+
+API strictness: since the real C binding never runs in this environment
+(no wheel), this fake is the only executable check on HOW the readers call
+lmdb. It therefore enforces the real binding's contract: `open()` rejects
+keyword arguments the C binding does not define (TypeError), transaction
+keys/values must be bytes-like (the C binding raises TypeError on str),
+and `get` honors the `default=` parameter. A reader change that would
+crash against the real library fails here too.
 """
 from __future__ import annotations
 
@@ -19,19 +27,40 @@ import pickle
 
 __version__ = "0.0-fake"
 
+# keyword parameters of the real lmdb.open / lmdb.Environment (py-lmdb);
+# anything else is a TypeError against the C binding and must be one here
+_OPEN_KWARGS = {
+    "map_size", "subdir", "readonly", "metasync", "sync", "map_async",
+    "mode", "create", "readahead", "writemap", "meminit", "max_readers",
+    "max_dbs", "max_spare_txns", "lock",
+}
+
+
+def _check_key(key):
+    if not isinstance(key, (bytes, bytearray, memoryview)):
+        raise TypeError(
+            f"Won't implicitly convert {type(key).__name__} to bytes"
+        )
+
 
 class _Txn:
     def __init__(self, env: "Environment", write: bool = False):
         self._env = env
         self._write = write
 
-    def get(self, key: bytes):
-        return self._env._data.get(key)
+    def get(self, key, default=None):
+        _check_key(key)
+        return self._env._data.get(bytes(key), default)
 
-    def put(self, key: bytes, value: bytes):
+    def put(self, key, value, dupdata=True, overwrite=True, append=False):
         if not self._write:
             raise RuntimeError("read-only transaction")
-        self._env._data[key] = value
+        _check_key(key)
+        if not isinstance(value, (bytes, bytearray, memoryview)):
+            raise TypeError(
+                f"Won't implicitly convert {type(value).__name__} to bytes"
+            )
+        self._env._data[bytes(key)] = bytes(value)
         return True
 
     def cursor(self):
@@ -64,7 +93,7 @@ class Environment:
             os.makedirs(self._path, exist_ok=True)
             self._data = {}
 
-    def begin(self, write: bool = False, **kwargs):
+    def begin(self, db=None, parent=None, write=False, buffers=False):
         if write and self._readonly:
             raise RuntimeError("environment is read-only")
         return _Txn(self, write=write)
@@ -83,6 +112,10 @@ class Environment:
             pickle.dump(self._data, f)
 
 
-def open(path, readonly: bool = False, lock: bool = True, **kwargs):  # noqa: A001
-    del lock, kwargs
-    return Environment(path, readonly=readonly)
+def open(path, **kwargs):  # noqa: A001
+    unknown = set(kwargs) - _OPEN_KWARGS
+    if unknown:
+        raise TypeError(
+            f"open() got unexpected keyword argument(s) {sorted(unknown)}"
+        )
+    return Environment(path, readonly=kwargs.get("readonly", False))

@@ -176,3 +176,48 @@ def test_loader_accepts_sampler():
     for batch in loader:
         seen.extend(batch["idx"].tolist())
     assert seen == list(iter(sampler))
+
+
+def test_build_dataset_video_clips_and_precomputed_metadata(tmp_path):
+    """The dataset factory's VideoClips branch (reference datasets/data.py:
+    22-29,45-55): load _precomputed_metadata when the cache file exists,
+    call video_clips.compute_clips(num_frames, 1, frame_rate) after
+    construction, and save dataset.metadata when the cache is absent."""
+    from avt_tpu.config.build import build_dataset
+    from avt_tpu.config.registry import register_target
+
+    calls = {}
+
+    class FakeVC:
+        def compute_clips(self, num_frames, step, frame_rate=None):
+            calls["compute"] = (num_frames, step, frame_rate)
+
+    class FakeVCDataset:
+        def __init__(self, frames_per_clip=None, frame_rate=None,
+                     subclips_options=None, load_seg_labels=None,
+                     reader=None, transform=None, conv_to_anticipate_fn=None,
+                     conv_to_anticipate_fn_runtime=None,
+                     sample_clips_densely_fn=None,
+                     _precomputed_metadata=None):
+            calls["precomputed"] = _precomputed_metadata
+            self.video_clips = FakeVC()
+            self.metadata = {"video_paths": ["a.mp4"]}
+
+        def __len__(self):
+            return 1
+
+    register_target("tests.FakeVCDataset", FakeVCDataset)
+    cache = tmp_path / "meta.pkl"
+    dcfg = {
+        "_target_": "tests.FakeVCDataset",
+        "_precomputed_metadata_file": str(cache),
+    }
+    data_cfg = {"num_frames": 7, "frame_rate": 15.0}
+
+    ds = build_dataset(dict(dcfg), data_cfg)
+    assert calls["precomputed"] is None       # no cache yet
+    assert calls["compute"] == (7, 1, 15.0)   # compute_clips called
+    assert cache.exists()                      # metadata saved
+
+    build_dataset(dict(dcfg), data_cfg)
+    assert calls["precomputed"] == {"video_paths": ["a.mp4"]}  # cache loaded

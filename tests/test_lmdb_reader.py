@@ -110,3 +110,29 @@ def test_lmdb_reader_requires_module(monkeypatch):
     monkeypatch.setattr(readers, "HAVE_LMDB", False)
     with pytest.raises(ImportError):
         readers.LMDBFeatsReader("/nonexistent")
+
+
+def test_fake_lmdb_enforces_real_binding_contract(tmp_path):
+    """The fake is the only executable check on HOW the readers call lmdb
+    (no wheel in this env): it must reject call shapes the real C binding
+    rejects — unknown open() kwargs, str keys/values — and honor get()'s
+    default= parameter (VERDICT r2 item 8)."""
+    import pytest
+
+    lmdb = _fake_lmdb()
+    with pytest.raises(TypeError):
+        lmdb.open(str(tmp_path / "x"), readonly=False, bogus_kwarg=1)
+    env = lmdb.open(str(tmp_path / "x"), readonly=False, lock=False,
+                    readahead=False, meminit=False)
+    with env.begin(write=True) as txn:
+        with pytest.raises(TypeError):
+            txn.put("str_key", b"v")
+        with pytest.raises(TypeError):
+            txn.put(b"k", "str_value")
+        txn.put(b"k", b"v")
+    with env.begin(write=False) as txn:
+        assert txn.get(b"k") == b"v"
+        assert txn.get(b"missing") is None
+        assert txn.get(b"missing", default=b"d") == b"d"
+        with pytest.raises(TypeError):
+            txn.get("str_key")
