@@ -17,10 +17,13 @@ native libav decoder (native/videodecode) when built.
 """
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+LOG = logging.getLogger(__name__)
 
 try:
     import lmdb  # type: ignore
@@ -50,11 +53,21 @@ class Reader:
 class FeatsReaderBase(Reader):
     """Pre-extracted per-frame feature reader (store-agnostic index math)."""
 
-    def __init__(self, read_type: str = "exact_rulstm", search_radius: int = 10):
+    def __init__(
+        self,
+        read_type: str = "exact_rulstm",
+        search_radius: int = 10,
+        warn_if_using_closeby_frame: bool = True,
+    ):
+        """warn_if_using_closeby_frame: log when the backward search settles
+        on a nearby frame instead of the requested one — configs for sparse
+        stores (e.g. expts/04's 10fps ig65m features) turn it off
+        (reference epic_kitchens.py:398,419,453)."""
         if read_type not in ("exact_rulstm", "normal"):
             raise NotImplementedError(f"Unknown read_type {read_type!r}")
         self.read_type = read_type
         self.search_radius = search_radius
+        self.warn_if_using_closeby_frame = warn_if_using_closeby_frame
 
     # -- store interface -------------------------------------------------
     def fetch(self, video_stem: str, frame_id: int) -> Optional[np.ndarray]:
@@ -93,6 +106,11 @@ class FeatsReaderBase(Reader):
                 # into an anticipation model.
                 dd = fetch(video_stem, int(frame_id) - radius)
                 if dd is not None:
+                    if radius > 0 and self.warn_if_using_closeby_frame:
+                        LOG.warning(
+                            "Using frame %d instead of %d for %s",
+                            int(frame_id) - radius, int(frame_id), video_stem,
+                        )
                     break
             feats.append(dd)
         not_none = [el for el in feats if el is not None]
