@@ -369,26 +369,24 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", prev)
 
 
-def test_avth_warns_on_rollout_under_dropout():
-    """Training with output_len>1 AND dropout>0 must warn loudly: the
-    static-recompute rollout re-samples dropout per step, unlike the
-    reference's KV cache (documented delta, models/future.py)."""
+def test_avth_rollout_under_dropout_warns_nothing():
+    """Rollout>1 training with dropout used to warn about per-step mask
+    re-sampling; position-stable dropout (models/layers.py dropout_key)
+    made the recompute cache-faithful, so NO warning may fire — the
+    equivalence itself is pinned by test_rollout_dropout_cache_equiv."""
     import warnings
 
-    model = _avth(output_len=2, return_past_too=False, avg_last_n=-1,
-                  attn_pdrop=0.1)
-    feats = jnp.asarray(RNG.normal(size=(1, 4, 1024)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), feats)
-    with pytest.warns(UserWarning, match="re-samples dropout"):
-        model.apply(params, feats, train=True,
+    for m in (
+        _avth(output_len=2, return_past_too=False, avg_last_n=-1,
+              attn_pdrop=0.1),
+        _avth(attn_pdrop=0.1),  # shipped configs: output_len == 1
+    ):
+        feats = jnp.asarray(RNG.normal(size=(1, 4, 1024)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), feats)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            m.apply(params, feats, train=True,
                     rngs={"dropout": jax.random.PRNGKey(1)})
-    # no warning in the shipped configs (output_len == 1)
-    model1 = _avth(attn_pdrop=0.1)
-    params1 = model1.init(jax.random.PRNGKey(0), feats)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        model1.apply(params1, feats, train=True,
-                     rngs={"dropout": jax.random.PRNGKey(1)})
 
 
 def test_avt_model_multicrop_batched_matches_per_crop_full():
@@ -471,8 +469,8 @@ def test_avth_rollout_with_dropout_trains():
     """AVTh output_len=3 + dropout>0: rollout runs, loss is finite, and the
     forward is deterministic given the rng (masks keyed off position, so
     the recompute passes agree with each other)."""
-    model = _avth(output_len=3, avg_last_n=-1)
-    model = model.replace(embd_pdrop=0.2, attn_pdrop=0.2, resid_pdrop=0.2)
+    model = _avth(output_len=3, avg_last_n=-1, embd_pdrop=0.2,
+                  attn_pdrop=0.2, resid_pdrop=0.2)
     feats = jnp.asarray(RNG.normal(size=(2, 6, 1024)).astype(np.float32))
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
