@@ -90,6 +90,14 @@ class AVTh(nn.Module):
         endpoints gpt2_att_<k> shaped (B, n_layer, n_head, Tq_k, Tk_k) —
         the reference's HF output_attentions passthrough
         (future_prediction.py:89-93,184-188).
+      rollout_mode: 'recompute' (default) or 'cache'. Recompute re-runs the
+        growing buffer each step — fastest at AVT's lengths (L <= ~5),
+        where cache plumbing costs more than the recomputed FLOPs. 'cache'
+        is the long-rollout path: one prefill then single-token decode
+        steps against per-layer KV caches, O(T+L) tokens processed instead
+        of O(L*(T+L)). Both produce the same outputs (position-stable
+        dropout makes them match under training dropout as well);
+        output_attentions viz always uses recompute.
     """
 
     in_features: int
@@ -110,9 +118,15 @@ class AVTh(nn.Module):
     num_cluster_centers: int = 50000
     centroids: Optional[Any] = None  # (K, C) array for on-the-fly assignment
     output_attentions: bool = False
+    rollout_mode: str = "recompute"  # 'recompute' | 'cache' (long rollouts)
     dtype: Optional[Any] = None  # GPT core compute dtype (params stay f32)
 
     def setup(self):
+        if self.rollout_mode not in ("recompute", "cache"):
+            raise ValueError(
+                f"rollout_mode must be 'recompute' or 'cache', got "
+                f"{self.rollout_mode!r}"
+            )
         self.quantized_input = self.in_features == 1 or self.centroids is not None
         self.assigner = None
         if self.centroids is not None:
@@ -158,6 +172,46 @@ class AVTh(nn.Module):
         if self.quantized_input:
             return self.encoder.attend(hidden)
         return self.decoder(hidden)
+
+    def _cached_rollout(self, encoded, L, train, dkey, t_max):
+        """KV-cache decode: one prefill + L-1 single-token steps.
+
+        Processes O(T0 + L) tokens where the static recompute processes
+        O(L * (T0 + L)) — the long-rollout path. Position-stable dropout
+        (masks keyed off token position) makes each step's activations
+        bit-identical to what the recompute pass computes for that
+        position, so both modes agree even under train-time dropout
+        (pinned by test_models.test_rollout_cache_equals_recompute)."""
+        B, T0, _ = encoded.shape
+        Tc = T0 + L - 1
+        h0, kvs = self.gpt(
+            encoded, train=train, dropout_key=dkey, t_max=t_max,
+            return_kv=True,
+        )
+        # grow each layer's (B, T0, H, D) prefill k/v to the full cache size
+        kvs = [
+            tuple(
+                jnp.concatenate(
+                    [a, jnp.zeros((B, Tc - T0) + a.shape[2:], a.dtype)],
+                    axis=1,
+                )
+                for a in kv
+            )
+            for kv in kvs
+        ]
+        hiddens = [h0]
+        last = h0[:, -1:, :]
+        for k in range(1, L):
+            inp = last
+            if self.quantize_before_rollout:
+                assert self.quantized_input
+                inp = self.encoder(jnp.argmax(self._decode(inp), axis=-1))
+            last, kvs = self.gpt(
+                inp, train=train, dropout_key=dkey, t_max=t_max,
+                kv_caches=kvs, position_offset=T0 + k - 1,
+            )
+            hiddens.append(last)
+        return jnp.concatenate(hiddens, axis=1)  # (B, T0+L-1, d)
 
     def __call__(
         self, feats, target_shape=None, *, train: bool = False
@@ -206,24 +260,33 @@ class AVTh(nn.Module):
             and max(self.embd_pdrop, self.attn_pdrop, self.resid_pdrop) > 0
         ):
             dkey = self.make_rng("dropout")
-        # buffer of input embeddings: [encoded feats | fed-back states]
-        buf = encoded
-        for k in range(1, L):
-            hidden_k = self.gpt(
-                buf, train=train, dropout_key=dkey, t_max=t_max
-            )  # (B, T0+k-1, d)
-            last = hidden_k[:, -1:, :]
-            if self.quantize_before_rollout:
-                assert self.quantized_input
-                last = self.encoder(jnp.argmax(self._decode(last), axis=-1))
-            buf = jnp.concatenate([buf, last], axis=1)
-        hidden = self.gpt(
-            buf,
-            train=train,
-            dropout_key=dkey,
-            t_max=t_max,
-            output_attentions=self.output_attentions,
-        )  # (B, T0+L-1, d) == cat(all_outputs)
+        if (
+            self.rollout_mode == "cache"
+            and L > 1
+            and not self.output_attentions  # viz maps need the full pass
+        ):
+            hidden = self._cached_rollout(encoded, L, train, dkey, t_max)
+        else:
+            # buffer of input embeddings: [encoded feats | fed-back states]
+            buf = encoded
+            for k in range(1, L):
+                hidden_k = self.gpt(
+                    buf, train=train, dropout_key=dkey, t_max=t_max
+                )  # (B, T0+k-1, d)
+                last = hidden_k[:, -1:, :]
+                if self.quantize_before_rollout:
+                    assert self.quantized_input
+                    last = self.encoder(
+                        jnp.argmax(self._decode(last), axis=-1)
+                    )
+                buf = jnp.concatenate([buf, last], axis=1)
+            hidden = self.gpt(
+                buf,
+                train=train,
+                dropout_key=dkey,
+                t_max=t_max,
+                output_attentions=self.output_attentions,
+            )  # (B, T0+L-1, d) == cat(all_outputs)
         if self.output_attentions:
             # Per-step maps, sliced from the final pass (recompute == cache,
             # so these equal what each rollout step's forward saw): step 0 is

@@ -28,23 +28,26 @@ def gelu_new(x: jax.Array) -> jax.Array:
 
 
 def position_stable_dropout(
-    x: jax.Array, key: jax.Array, rate: float, t_max: int
+    x: jax.Array, key: jax.Array, rate: float, t_max: int, offset: int = 0
 ) -> jax.Array:
     """Dropout whose mask depends on (batch, position, channel) but NOT on
     the live sequence length: the mask for the full t_max-token buffer is
-    sampled once from `key` and sliced to the current prefix.
+    sampled once from `key` and the [offset, offset+T) slice applied.
 
     This reproduces the reference's KV-cache dropout semantics for the AVTh
     rollout (future_prediction.py:168-202): with a cache, token t's
     activations are dropout-masked once — at the step that processed token t
     — and reused; with our static recompute, re-running the prefix under a
     position-stable mask regenerates bit-identical activations, so
-    recompute == cache exactly, even under train-time dropout.
+    recompute == cache exactly, even under train-time dropout. The cached
+    decode path passes the token position as `offset`, sampling the SAME
+    per-position mask the recompute pass would.
     """
     if rate == 0.0:
         return x
     B, T, C = x.shape
-    keep = jax.random.bernoulli(key, 1.0 - rate, (B, t_max, C))[:, :T]
+    keep = jax.random.bernoulli(key, 1.0 - rate, (B, t_max, C))
+    keep = jax.lax.dynamic_slice_in_dim(keep, offset, T, axis=1)
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
@@ -89,7 +92,17 @@ class SelfAttention(nn.Module):
         output_attentions: bool = False,
         dropout_key=None,
         t_max: Optional[int] = None,
+        kv_cache=None,
+        cache_index=None,
+        pos_offset: int = 0,
+        return_kv: bool = False,
     ):
+        """kv_cache/cache_index: cached single-token decode — x is the one
+        (B, 1, C) new token at position cache_index; its k/v are written
+        into the (B, Tc, H, D) cache pair and q attends over positions
+        <= cache_index. return_kv: also return this call's (k, v) (the
+        prefill that seeds a cache). pos_offset: token position of x[:, 0]
+        for position-stable dropout masks."""
         B, T, C = x.shape
         out_dim = self.out_features or C
         head_dim = C // self.num_heads
@@ -99,7 +112,22 @@ class SelfAttention(nn.Module):
         k = k.reshape(B, T, self.num_heads, head_dim)
         v = v.reshape(B, T, self.num_heads, head_dim)
         probs = None
-        if output_attentions:
+        if kv_cache is not None:
+            assert not output_attentions, "viz mode uses the recompute path"
+            assert T == 1, "cached decode processes one token at a time"
+            k_cache, v_cache = kv_cache
+            k = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k.astype(k_cache.dtype), cache_index, axis=1
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v.astype(v_cache.dtype), cache_index, axis=1
+            )
+            # causal for a single query at position cache_index: keys <= it
+            visible = (
+                jnp.arange(k.shape[1]) <= cache_index
+            )[None, None, None, :]
+            out = dot_product_attention(q, k, v, causal=False, mask=visible)
+        elif output_attentions:
             # explicit path that materializes the probabilities; only used
             # for attention-map export (viz mode), never on the hot path
             probs = _explicit_attention_probs(q, k, self.causal)
@@ -115,6 +143,7 @@ class SelfAttention(nn.Module):
                 jax.random.fold_in(dropout_key, 0),
                 self.attn_dropout,
                 t_max,
+                pos_offset,
             )
         else:
             out = nn.Dropout(self.attn_dropout, deterministic=not train)(out)
@@ -122,10 +151,13 @@ class SelfAttention(nn.Module):
         out = nn.Dense(out_dim, kernel_init=self.proj_init, dtype=self.dtype, name="proj")(out)
         if dropout_key is not None and train:
             out = position_stable_dropout(
-                out, jax.random.fold_in(dropout_key, 1), self.resid_dropout, t_max
+                out, jax.random.fold_in(dropout_key, 1), self.resid_dropout,
+                t_max, pos_offset,
             )
         else:
             out = nn.Dropout(self.resid_dropout, deterministic=not train)(out)
+        if kv_cache is not None or return_kv:
+            return out, (k, v)
         if output_attentions:
             return out, probs
         return out
@@ -157,6 +189,10 @@ class GPT2Block(nn.Module):
         output_attentions: bool = False,
         dropout_key=None,
         t_max: Optional[int] = None,
+        kv_cache=None,
+        cache_index=None,
+        pos_offset: int = 0,
+        return_kv: bool = False,
     ):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         attn_out = SelfAttention(
@@ -178,9 +214,15 @@ class GPT2Block(nn.Module):
                 else None
             ),
             t_max=t_max,
+            kv_cache=kv_cache,
+            cache_index=cache_index,
+            pos_offset=pos_offset,
+            return_kv=return_kv,
         )
-        probs = None
-        if output_attentions:
+        probs = kv = None
+        if kv_cache is not None or return_kv:
+            attn_out, kv = attn_out
+        elif output_attentions:
             attn_out, probs = attn_out
         x = x + attn_out
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
@@ -195,11 +237,14 @@ class GPT2Block(nn.Module):
         )(h)
         if dropout_key is not None and train:
             h = position_stable_dropout(
-                h, jax.random.fold_in(dropout_key, 1), self.resid_dropout, t_max
+                h, jax.random.fold_in(dropout_key, 1), self.resid_dropout,
+                t_max, pos_offset,
             )
         else:
             h = nn.Dropout(self.resid_dropout, deterministic=not train)(h)
         out = x + h
+        if kv is not None:
+            return out, kv
         if output_attentions:
             return out, probs
         return out
@@ -233,12 +278,20 @@ class GPT2Core(nn.Module):
         output_attentions: bool = False,
         dropout_key=None,
         t_max: Optional[int] = None,
+        kv_caches=None,
+        return_kv: bool = False,
     ):
         """dropout_key/t_max: position-stable rollout dropout — pass the SAME
         key for every forward of a growing rollout buffer and masks become a
         function of token position only, making recompute == KV cache.
         output_attentions: additionally return per-layer attention
-        probabilities stacked (B, n_layer, n_head, T, T)."""
+        probabilities stacked (B, n_layer, n_head, T, T).
+        return_kv: additionally return the per-layer (k, v) pairs of this
+        forward (seeding a decode cache). kv_caches: per-layer (k, v) pairs
+        of shape (B, Tc, H, D) — cached single-token decode of the one
+        (B, 1, C) token at position `position_offset`; returns the updated
+        caches. Position-stable dropout masks are sliced at the token's
+        position, so cached decode == full recompute under dropout too."""
         B, T, C = inputs_embeds.shape
         wpe = self.param("wpe", GPT2_INIT, (self.n_positions, C))
         pos = jax.lax.dynamic_slice_in_dim(wpe, position_offset, T, axis=0)
@@ -247,11 +300,13 @@ class GPT2Core(nn.Module):
             x = x.astype(self.dtype)
         if dropout_key is not None and train:
             x = position_stable_dropout(
-                x, jax.random.fold_in(dropout_key, 0), self.embd_dropout, t_max
+                x, jax.random.fold_in(dropout_key, 0), self.embd_dropout,
+                t_max, position_offset,
             )
         else:
             x = nn.Dropout(self.embd_dropout, deterministic=not train)(x)
         all_probs = []
+        new_kvs = []
         for i in range(self.n_layer):
             x = GPT2Block(
                 num_heads=self.n_head,
@@ -270,12 +325,21 @@ class GPT2Core(nn.Module):
                     else None
                 ),
                 t_max=t_max,
+                kv_cache=None if kv_caches is None else kv_caches[i],
+                cache_index=None if kv_caches is None else position_offset,
+                pos_offset=position_offset,
+                return_kv=return_kv,
             )
-            if output_attentions:
+            if kv_caches is not None or return_kv:
+                x, kv = x
+                new_kvs.append(kv)
+            elif output_attentions:
                 x, probs = x
                 all_probs.append(probs)
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_f")(x)
         out = x.astype(jnp.float32) if self.dtype is not None else x
+        if kv_caches is not None or return_kv:
+            return out, new_kvs
         if output_attentions:
             # (B, n_layer, n_head, T, T) — the reference's stack+transpose
             # layout (future_prediction.py:185-188)

@@ -465,6 +465,72 @@ def test_rollout_dropout_cache_equiv():
     assert not np.allclose(np.asarray(ev), np.asarray(full))
 
 
+def test_rollout_cache_equals_recompute():
+    """rollout_mode='cache' (prefill + single-token KV-cache decode steps)
+    must produce the same outputs as the default static recompute — at
+    eval, under train-time dropout (position-stable masks make the cached
+    step's activations identical to the recompute pass's at that
+    position), and in the quantized feedback mode. Only softmax
+    reduction-order rounding may differ (single-query masked attention vs
+    the full causal pass)."""
+    common = dict(
+        in_features=64, inter_dim=64, n_layer=2, n_head=4, output_len=4,
+        avg_last_n=-1, return_past_too=False,
+        future_pred_loss=lambda p, t: mse(p, t, reduction="none"),
+    )
+    feats = jnp.asarray(RNG.normal(size=(2, 6, 64)).astype(np.float32))
+    for extra, train in (
+        (dict(), False),
+        (dict(embd_pdrop=0.3, attn_pdrop=0.3, resid_pdrop=0.3), True),
+    ):
+        rec = AVTh(**common, rollout_mode="recompute", **extra)
+        cch = AVTh(**common, rollout_mode="cache", **extra)
+        params = rec.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            feats,
+        )
+        r = {"dropout": jax.random.PRNGKey(7)}
+        o1 = rec.apply(params, feats, train=train, rngs=r)
+        o2 = cch.apply(params, feats, train=train, rngs=r)
+        for a, b, name in (
+            (o1[0], o2[0], "updated_past"),
+            (o1[1], o2[1], "final"),
+            (o1[2]["feat"], o2[2]["feat"], "feat loss"),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5,
+                err_msg=f"{name} train={train}",
+            )
+
+
+def test_rollout_cache_quantized_and_validation():
+    """Cache mode through the embedding-input + quantize-before-rollout
+    feedback (argmax ids re-encoded each step), and the rollout_mode
+    validation error."""
+    kw = dict(
+        in_features=1, inter_dim=64, n_layer=2, n_head=4, output_len=4,
+        avg_last_n=-1, return_past_too=False, num_cluster_centers=32,
+        quantize_before_rollout=True,
+    )
+    ids = jnp.asarray(RNG.integers(0, 32, size=(2, 6, 1)).astype(np.float32))
+    rec = AVTh(**kw, rollout_mode="recompute")
+    cch = AVTh(**kw, rollout_mode="cache")
+    params = rec.init(jax.random.PRNGKey(0), ids)
+    o1 = rec.apply(params, ids)
+    o2 = cch.apply(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(o1[0]), np.asarray(o2[0]), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1[1]), np.asarray(o2[1]), rtol=2e-5, atol=1e-5
+    )
+    with pytest.raises(ValueError, match="rollout_mode"):
+        AVTh(in_features=64, rollout_mode="nope", output_len=1).init(
+            jax.random.PRNGKey(0), jnp.ones((1, 4, 64))
+        )
+
+
 def test_avth_rollout_with_dropout_trains():
     """AVTh output_len=3 + dropout>0: rollout runs, loss is finite, and the
     forward is deterministic given the rng (masks keyed off position, so
