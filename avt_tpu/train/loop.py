@@ -108,7 +108,13 @@ def train_one_epoch(
     """
     metric_logger = metric_logger or MetricLogger(logger=logger, writer=writer)
     batches_per_epoch = len(loader)
-    partial_iters = int(batches_per_epoch * partial_epoch)
+    # The stored fraction is always consumed_batches/batches_per_epoch, so
+    # round() recovers the exact count. Deliberate delta vs the reference's
+    # int() truncation (func/train.py:165-175), which re-applies one batch
+    # whenever the fraction's float repr rounds down (e.g. 1/5 -> 0.1999..):
+    # with XLA's deterministic replay that would break the bitwise resume
+    # guarantee (test_crash_resume_trajectory_equivalence).
+    partial_iters = int(round(batches_per_epoch * partial_epoch))
     last_saved_time = last_saved_time or datetime.datetime.now()
     save_freq_steps = (
         int(save_freq * batches_per_epoch) if save_freq else None

@@ -201,6 +201,97 @@ def test_e2e_train_eval_resume(synth, tmp_path):
     assert r_epoch2 == 6.5
 
 
+class _CrashingLoader:
+    """Loader proxy that simulates a preemption: raises before yielding the
+    crash_at-th batch (counted across epochs), once."""
+
+    def __init__(self, inner, crash_at):
+        self.inner = inner
+        self.crash_at = crash_at
+        self.count = 0
+        self.armed = True
+
+    def __len__(self):
+        return len(self.inner)
+
+    def set_epoch(self, epoch):
+        self.inner.set_epoch(epoch)
+
+    def __iter__(self):
+        for batch in self.inner:
+            if self.armed and self.count == self.crash_at:
+                self.armed = False
+                raise RuntimeError("simulated preemption")
+            self.count += 1
+            yield batch
+
+
+def test_crash_resume_trajectory_equivalence(synth, tmp_path):
+    """Killing training mid-epoch and auto-resuming from the rolling
+    checkpoint reproduces the uninterrupted run EXACTLY: per-step rng =
+    fold_in(step_id), seeded per-epoch reshuffle, and the fractional
+    fast-forward replay the identical batch/rng sequence, so final params,
+    optimizer state, and step count are bitwise-equal. Pins the reference's
+    resume semantics (func/train.py:165-201,760-769) at full strength —
+    the reference itself only *approximately* resumes (its fast-forward
+    re-consumes the sampler but CUDA nondeterminism breaks bitwise equality
+    there; XLA replay is exact)."""
+
+    def make(run):
+        model = _make_model()
+        ds = _make_ds(synth[0], synth[1][synth[1].participant_id != "P02"],
+                      True)
+        loader = DataLoader(
+            ds, batch_size=8, shuffle=True, drop_last=True, num_workers=2,
+            keys=["video", "target", "target_subclips", "idx", "uid"],
+        )
+        batch0 = next(iter(loader))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch0["video"]),
+            batch0["target"]["action"].shape,
+        )
+        tx, _ = build_optimizer(
+            params, lr_wd=[["__all__", 0.005, 1e-6]], optimizer_name="sgd",
+            scheduler_name="cosine", iters_per_epoch=len(loader),
+            num_epochs=2, warmup_epochs=1,
+        )
+        step = make_train_step(
+            model, tx,
+            loss_wts={"cls_action": 1.0, "past_cls_action": 1.0, "feat": 1.0},
+            num_classes={"action": N_CLS}, donate=False,
+        )
+        return step, TrainState.create(params, tx), loader, str(tmp_path / run)
+
+    common = dict(num_epochs=2, save_freq=0.4, save_freq_min=None,
+                  print_freq=1)
+
+    # run A: straight through
+    step, state, loader, ckpt = make("straight")
+    assert len(loader) >= 4
+    final_a = run_training(train_step=step, state=state, train_loader=loader,
+                           ckpt_dir=ckpt, **common)
+
+    # run B: crash mid-epoch-1 (after a fractional checkpoint), then resume
+    step, state, loader, ckpt = make("crashed")
+    crashing = _CrashingLoader(loader, crash_at=len(loader) + 3)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        run_training(train_step=step, state=state, train_loader=crashing,
+                     ckpt_dir=ckpt, **common)
+    # fresh process: new state template; run_training auto-restores the
+    # rolling fractional checkpoint and fast-forwards the loader
+    _, state2, _, _ = make("crashed")
+    final_b = run_training(train_step=step, state=state2,
+                           train_loader=crashing, ckpt_dir=ckpt, **common)
+
+    assert int(final_a.step) == int(final_b.step) == 2 * len(loader)
+    for a, b in zip(jax.tree.leaves(final_a.params),
+                    jax.tree.leaves(final_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(final_a.opt_state),
+                    jax.tree.leaves(final_b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_collate_static_shapes(synth):
     root, df = synth
     ds = _make_ds(root, df, True)
