@@ -13,8 +13,9 @@ from __future__ import annotations
 
 import datetime
 import math
+import signal as _signal
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -30,6 +31,21 @@ from avt_tpu.train.step import TrainState
 
 _JIT_KEYS = ("video", "target", "target_subclips")
 _VIDEO_LOG_DISABLED = False
+
+
+class Preempted(RuntimeError):
+    """A graceful-shutdown signal arrived mid-epoch; the rolling checkpoint
+    was written at the batch boundary where training stopped, so a relaunch
+    auto-resumes from exactly there (and, with XLA's deterministic replay,
+    reproduces the uninterrupted trajectory bitwise —
+    test_sigterm_preempt_resume). Parity: submitit's checkpoint-and-requeue
+    on SLURM preemption/timeout (reference launch.py:282, SURVEY §5.3)."""
+
+    def __init__(self, epoch: float):
+        super().__init__(
+            f"preempted at epoch {epoch:.4f}; checkpoint saved"
+        )
+        self.epoch = epoch
 
 
 def _store_video_logs(batch, step_id, print_large_freq, metric_logger):
@@ -94,8 +110,13 @@ def train_one_epoch(
     rank: int = 0,
     writer=None,
     host_state_fn: Optional[Callable] = None,
+    preempt_check: Optional[Callable[[], bool]] = None,
 ):
     """Run (the rest of) one epoch; returns (state, last_saved_time).
+
+    preempt_check: polled once per chunk; when it turns true the in-flight
+    chunk is drained, the rolling checkpoint is written at the current
+    batch boundary, and Preempted is raised (graceful SIGTERM handling).
 
     The hot path dispatches `unroll_steps` batches per device call through
     `multi_step` (lax.scan inside one XLA program) so the host never syncs
@@ -182,6 +203,16 @@ def train_one_epoch(
         chunked(), print_freq, f"Epoch [{epoch}]", total=n_chunks
     ):
         cur_epoch = step_id / batches_per_epoch
+        if preempt_check is not None and preempt_check():
+            if pending is not None:
+                drain(pending)
+                pending = None
+            if ckpt_dir:
+                save_checkpoint(
+                    ckpt_dir, state, cur_epoch, rank=rank,
+                    host_state=host_state_fn() if host_state_fn else None,
+                )
+            raise Preempted(cur_epoch)
         now = datetime.datetime.now()
         mins_since = (now - last_saved_time).total_seconds() / 60.0
         bucket = step_id // save_freq_steps if save_freq_steps else -1
@@ -270,8 +301,16 @@ def run_training(
     logger=None,
     rank: int = 0,
     tb_dir: Optional[str] = None,
+    graceful_signals: Tuple[int, ...] = (),
 ) -> TrainState:
-    """Full training driver with auto-resume (func/train.py:760-840)."""
+    """Full training driver with auto-resume (func/train.py:760-840).
+
+    graceful_signals: OS signals (e.g. SIGTERM) that trigger a graceful
+    checkpoint-and-exit: the current chunk finishes, the rolling checkpoint
+    is written, and Preempted propagates so the launcher can requeue —
+    the reference gets this from submitit on SLURM preemption/timeout
+    (launch.py:282); on TPU pods the scheduler's SIGTERM plays that role.
+    Original handlers are restored on exit; main thread only."""
     writer = make_tb_writer(tb_dir, rank) if tb_dir else None
     # plateau counters persist through checkpoints (the reference stores
     # its scheduler state_dict too, func/train.py:52-74)
@@ -295,53 +334,79 @@ def run_training(
     last_saved = datetime.datetime.now()
     epoch = int(start_epoch)
     partial = start_epoch - epoch
-    while epoch < num_epochs:
-        train_loader.set_epoch(epoch)
-        state, last_saved = train_one_epoch(
-            train_step,
-            state,
-            train_loader,
-            epoch=epoch,
-            partial_epoch=partial if epoch == int(start_epoch) else 0.0,
-            rng=rng,
-            multi_step=multi_step,
-            unroll_steps=unroll_steps,
-            place_batch=place_batch,
-            logger=logger,
-            print_freq=print_freq,
-            print_large_freq=print_large_freq,
-            save_freq=save_freq,
-            save_freq_min=save_freq_min,
-            save_intermediates=save_intermediates,
-            ckpt_dir=ckpt_dir,
-            last_saved_time=last_saved,
-            rank=rank,
-            writer=writer,
-            host_state_fn=host_state_fn,
-        )
-        partial = 0.0
-        if ckpt_dir:
-            save_checkpoint(
-                ckpt_dir, state, float(epoch + 1), rank=rank,
-                host_state=host_state_fn() if host_state_fn else None,
+    preempt_sig = {"signum": None}
+    orig_handlers = {}
+
+    def _on_signal(signum, frame):
+        preempt_sig["signum"] = signum
+        if logger:
+            logger.info(
+                "Signal %d received — will checkpoint and exit at the "
+                "next chunk boundary", signum,
             )
-            last_saved = datetime.datetime.now()
-        if eval_fn is not None and (epoch + 1) % eval_freq == 0:
-            metric = eval_fn(state, float(epoch + 1))
-            if logger:
-                logger.info("Epoch %d primary metric: %f", epoch + 1, metric)
-            if writer is not None:
-                writer.add_scalar("eval_per_epoch/primary_metric", metric, epoch + 1)
-            if plateau is not None:
-                # ReduceLROnPlateau stepped on the val metric
-                # (func/train.py:832-834)
-                state = plateau(state, metric)
-            if store_best and metric > best_metric and ckpt_dir:
-                best_metric = metric
+
+    for s in graceful_signals:
+        orig_handlers[s] = _signal.signal(s, _on_signal)
+    preempt_check = (
+        (lambda: preempt_sig["signum"] is not None)
+        if graceful_signals else None
+    )
+    try:
+        while epoch < num_epochs:
+            train_loader.set_epoch(epoch)
+            state, last_saved = train_one_epoch(
+                train_step,
+                state,
+                train_loader,
+                epoch=epoch,
+                partial_epoch=partial if epoch == int(start_epoch) else 0.0,
+                rng=rng,
+                multi_step=multi_step,
+                unroll_steps=unroll_steps,
+                place_batch=place_batch,
+                logger=logger,
+                print_freq=print_freq,
+                print_large_freq=print_large_freq,
+                save_freq=save_freq,
+                save_freq_min=save_freq_min,
+                save_intermediates=save_intermediates,
+                ckpt_dir=ckpt_dir,
+                last_saved_time=last_saved,
+                rank=rank,
+                writer=writer,
+                host_state_fn=host_state_fn,
+                preempt_check=preempt_check,
+            )
+            partial = 0.0
+            if ckpt_dir:
                 save_checkpoint(
-                    ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,),
-                    rank=rank,
+                    ckpt_dir, state, float(epoch + 1), rank=rank,
                     host_state=host_state_fn() if host_state_fn else None,
                 )
-        epoch += 1
+                last_saved = datetime.datetime.now()
+            if eval_fn is not None and (epoch + 1) % eval_freq == 0:
+                metric = eval_fn(state, float(epoch + 1))
+                if logger:
+                    logger.info(
+                        "Epoch %d primary metric: %f", epoch + 1, metric
+                    )
+                if writer is not None:
+                    writer.add_scalar(
+                        "eval_per_epoch/primary_metric", metric, epoch + 1
+                    )
+                if plateau is not None:
+                    # ReduceLROnPlateau stepped on the val metric
+                    # (func/train.py:832-834)
+                    state = plateau(state, metric)
+                if store_best and metric > best_metric and ckpt_dir:
+                    best_metric = metric
+                    save_checkpoint(
+                        ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,),
+                        rank=rank,
+                        host_state=host_state_fn() if host_state_fn else None,
+                    )
+            epoch += 1
+    finally:
+        for s, h in orig_handlers.items():
+            _signal.signal(s, h)
     return state

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import sys
 from pathlib import Path
 from typing import Dict, Optional
@@ -261,7 +262,12 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         return eval_fn(state, 0.0)
 
     tcfg = cfg["train"]["train_one_epoch_fn"]
+    # graceful preemption: SIGTERM (TPU-pod/cluster preemption) and SIGUSR1
+    # (the timeout pre-notice submitit listens for on SLURM) checkpoint at
+    # the next chunk boundary and raise Preempted; the relauncher requeues
+    # and auto-resume continues bitwise (reference launch.py:282, §5.3)
     state = run_training(
+        graceful_signals=(signal.SIGTERM, signal.SIGUSR1),
         train_step=train_step,
         state=state,
         train_loader=train_loader,
@@ -327,6 +333,15 @@ def cli(argv=None):
             f.write(str(os.getpid()))
         try:
             results.append(main(cfg, work_dir))
+        except Exception as e:
+            from avt_tpu.train.loop import Preempted
+
+            if isinstance(e, Preempted):
+                # conventional 128+SIGTERM exit so schedulers/wrappers can
+                # distinguish preemption (requeue) from failure
+                logger.info("%s — exiting for requeue", e)
+                sys.exit(143)
+            raise
         finally:
             try:
                 os.remove(pid_file)

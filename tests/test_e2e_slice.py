@@ -6,6 +6,7 @@ AVTModel(identity backbone + AVT-h) -> jitted train step -> evaluator with
 H5 sink -> final_acc/action/AR5 -> checkpoint + fractional resume.
 """
 import os
+import signal
 
 import numpy as np
 import pandas as pd
@@ -226,6 +227,49 @@ class _CrashingLoader:
             yield batch
 
 
+def _make_run(synth, tmp_path, run):
+    """A fresh (train_step, initial state, deterministic loader, ckpt dir)
+    quadruple for the resume-equivalence tests — every call reproduces the
+    identical initialization and batch sequence."""
+    model = _make_model()
+    ds = _make_ds(synth[0], synth[1][synth[1].participant_id != "P02"],
+                  True)
+    loader = DataLoader(
+        ds, batch_size=8, shuffle=True, drop_last=True, num_workers=2,
+        keys=["video", "target", "target_subclips", "idx", "uid"],
+    )
+    batch0 = next(iter(loader))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch0["video"]),
+        batch0["target"]["action"].shape,
+    )
+    tx, _ = build_optimizer(
+        params, lr_wd=[["__all__", 0.005, 1e-6]], optimizer_name="sgd",
+        scheduler_name="cosine", iters_per_epoch=len(loader),
+        num_epochs=2, warmup_epochs=1,
+    )
+    step = make_train_step(
+        model, tx,
+        loss_wts={"cls_action": 1.0, "past_cls_action": 1.0, "feat": 1.0},
+        num_classes={"action": N_CLS}, donate=False,
+    )
+    return step, TrainState.create(params, tx), loader, str(tmp_path / run)
+
+
+_RESUME_KW = dict(num_epochs=2, save_freq=0.4, save_freq_min=None,
+                  print_freq=1)
+
+
+def _assert_states_equal(final_a, final_b, n_steps):
+    assert int(final_a.step) == int(final_b.step) == n_steps
+    for a, b in zip(jax.tree.leaves(final_a.params),
+                    jax.tree.leaves(final_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(final_a.opt_state),
+                    jax.tree.leaves(final_b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_crash_resume_trajectory_equivalence(synth, tmp_path):
     """Killing training mid-epoch and auto-resuming from the rolling
     checkpoint reproduces the uninterrupted run EXACTLY: per-step rng =
@@ -236,34 +280,8 @@ def test_crash_resume_trajectory_equivalence(synth, tmp_path):
     the reference itself only *approximately* resumes (its fast-forward
     re-consumes the sampler but CUDA nondeterminism breaks bitwise equality
     there; XLA replay is exact)."""
-
-    def make(run):
-        model = _make_model()
-        ds = _make_ds(synth[0], synth[1][synth[1].participant_id != "P02"],
-                      True)
-        loader = DataLoader(
-            ds, batch_size=8, shuffle=True, drop_last=True, num_workers=2,
-            keys=["video", "target", "target_subclips", "idx", "uid"],
-        )
-        batch0 = next(iter(loader))
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch0["video"]),
-            batch0["target"]["action"].shape,
-        )
-        tx, _ = build_optimizer(
-            params, lr_wd=[["__all__", 0.005, 1e-6]], optimizer_name="sgd",
-            scheduler_name="cosine", iters_per_epoch=len(loader),
-            num_epochs=2, warmup_epochs=1,
-        )
-        step = make_train_step(
-            model, tx,
-            loss_wts={"cls_action": 1.0, "past_cls_action": 1.0, "feat": 1.0},
-            num_classes={"action": N_CLS}, donate=False,
-        )
-        return step, TrainState.create(params, tx), loader, str(tmp_path / run)
-
-    common = dict(num_epochs=2, save_freq=0.4, save_freq_min=None,
-                  print_freq=1)
+    make = lambda run: _make_run(synth, tmp_path, run)  # noqa: E731
+    common = _RESUME_KW
 
     # run A: straight through
     step, state, loader, ckpt = make("straight")
@@ -283,13 +301,66 @@ def test_crash_resume_trajectory_equivalence(synth, tmp_path):
     final_b = run_training(train_step=step, state=state2,
                            train_loader=crashing, ckpt_dir=ckpt, **common)
 
-    assert int(final_a.step) == int(final_b.step) == 2 * len(loader)
-    for a, b in zip(jax.tree.leaves(final_a.params),
-                    jax.tree.leaves(final_b.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(jax.tree.leaves(final_a.opt_state),
-                    jax.tree.leaves(final_b.opt_state)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _assert_states_equal(final_a, final_b, 2 * len(loader))
+
+
+class _SignalingLoader:
+    """Loader proxy that delivers SIGTERM to this process right before
+    yielding the kill_at-th batch (counted across epochs), once — the
+    graceful handler finishes that chunk, checkpoints, and raises."""
+
+    def __init__(self, inner, kill_at):
+        self.inner = inner
+        self.kill_at = kill_at
+        self.count = 0
+        self.armed = True
+
+    def __len__(self):
+        return len(self.inner)
+
+    def set_epoch(self, epoch):
+        self.inner.set_epoch(epoch)
+
+    def __iter__(self):
+        for batch in self.inner:
+            if self.armed and self.count == self.kill_at:
+                self.armed = False
+                os.kill(os.getpid(), signal.SIGTERM)
+            self.count += 1
+            yield batch
+
+
+def test_sigterm_preempt_resume(synth, tmp_path):
+    """Graceful preemption parity (reference: submitit checkpoint-and-
+    requeue on SLURM SIGTERM/timeout, launch.py:282, SURVEY §5.3): SIGTERM
+    mid-epoch makes run_training finish the in-flight chunk, write the
+    rolling checkpoint at that batch boundary, and raise Preempted; a
+    relaunch auto-resumes and the final state is bitwise-identical to an
+    uninterrupted run. Also checks the previous SIGTERM disposition is
+    restored afterwards."""
+    from avt_tpu.train.loop import Preempted
+
+    make = lambda run: _make_run(synth, tmp_path, run)  # noqa: E731
+    common = dict(_RESUME_KW, graceful_signals=(signal.SIGTERM,))
+
+    step, state, loader, ckpt = make("straight")
+    assert len(loader) >= 4
+    final_a = run_training(train_step=step, state=state, train_loader=loader,
+                           ckpt_dir=ckpt, **common)
+
+    before = signal.getsignal(signal.SIGTERM)
+    step, state, loader, ckpt = make("preempted")
+    signaling = _SignalingLoader(loader, kill_at=len(loader) + 2)
+    with pytest.raises(Preempted) as ei:
+        run_training(train_step=step, state=state, train_loader=signaling,
+                     ckpt_dir=ckpt, **common)
+    assert 1.0 < ei.value.epoch < 2.0  # stopped mid-epoch-1, ckpt written
+    assert signal.getsignal(signal.SIGTERM) is before
+
+    _, state2, _, _ = make("preempted")
+    final_b = run_training(train_step=step, state=state2,
+                           train_loader=signaling, ckpt_dir=ckpt, **common)
+    _assert_states_equal(final_a, final_b, 2 * len(loader))
 
 
 def test_collate_static_shapes(synth):

@@ -452,3 +452,23 @@ def test_train_net_quantized_avth_from_config(ek_tree, tmp_path):
     os.makedirs(work_dir)
     metric = main(cfg, work_dir)
     assert 0.0 <= metric <= 100.0
+
+
+def test_cli_exits_143_on_preemption(monkeypatch, tmp_path):
+    """The CLI maps Preempted to exit code 128+SIGTERM so schedulers and
+    relaunch wrappers can distinguish preemption (requeue + auto-resume)
+    from failure (reference: submitit handles this layer on SLURM,
+    launch.py:282)."""
+    import avt_tpu.train_net as tn
+    from avt_tpu.train.loop import Preempted
+
+    def fake_main(cfg, work_dir):
+        raise Preempted(1.4)
+
+    monkeypatch.setattr(tn, "main", fake_main)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit) as ei:
+        tn.cli(["train.num_epochs=1"])
+    assert ei.value.code == 143
+    # the run.pid file is cleaned up even on the preemption path
+    assert not list(tmp_path.rglob("run.pid"))
