@@ -95,6 +95,110 @@ def resize_bilinear_torch(
     return _resize_axis_torch(x, out_w, x.ndim - 2)
 
 
+def _resize_axis_dynamic(x, start, length, out_size, axis):
+    """One bilinear axis pass where the source window [start, start+length)
+    is TRACED (data-dependent crop box). Same tap math as _interp_taps —
+    src = (i+0.5)*in/out - 0.5 clamped at 0, upper tap edge-clamped — but
+    the scale is a traced f32, so parity with torch is to f32 rounding
+    (~1e-6 relative), not the bit-exact FMA-emulated static path."""
+    scale = length.astype(jnp.float32) / jnp.float32(out_size)
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.maximum(src, 0.0)
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, length - 1)
+    lo_v = jnp.take(x, start + lo_i, axis=axis).astype(jnp.float32)
+    hi_v = jnp.take(x, start + hi_i, axis=axis).astype(jnp.float32)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    f = frac.reshape(shape)
+    return lo_v * (1.0 - f) + hi_v * f
+
+
+def resized_crop_bilinear_torch(
+    x: jax.Array, i, j, h, w, out_h: int, out_w: int
+) -> jax.Array:
+    """Crop the (i, j, h, w) box of (..., H, W, C) and bilinear-resize it to
+    (out_h, out_w) — torchvision `resized_crop` (crop + F.interpolate
+    bilinear antialias=False) with a DYNAMIC box: i/j/h/w may be traced
+    values, so this works under jit where shape-changing crop-then-resize
+    cannot. Out-of-box taps edge-clamp within the crop, matching torch's
+    behaviour on the cropped tensor. Returns float32."""
+    x = _resize_axis_dynamic(
+        x, jnp.asarray(i, jnp.int32), jnp.asarray(h, jnp.int32),
+        out_h, x.ndim - 3,
+    )
+    return _resize_axis_dynamic(
+        x, jnp.asarray(j, jnp.int32), jnp.asarray(w, jnp.int32),
+        out_w, x.ndim - 2,
+    )
+
+
+def random_resized_crop(
+    x: jax.Array,
+    rng: jax.Array,
+    out_size: Union[int, Tuple[int, int]],
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> jax.Array:
+    """torchvision-style RandomResizedCrop of (..., H, W, C), jittable;
+    ONE box per call, so a (T, H, W, C) clip is cropped time-consistently.
+
+    Parity target: reference common/transforms.py:195-230
+    (RandomResizedCropVideo) — exported by the reference's transform
+    library though wired into no shipped pipeline (func/train.py:550-584
+    builds Resize+RandomCrop). Sampling contract matches torchvision's
+    get_params: 10 attempts of area ~ U(scale)*H*W and aspect ~
+    exp(U(log ratio)), first fit wins; fallback is the aspect-clamped
+    center crop. (RNG streams differ from torch, so the DISTRIBUTION is
+    torchvision's but individual draws are not reproducible across
+    frameworks — same as any seeded-RNG transform.)"""
+    out_h, out_w = (
+        (int(out_size), int(out_size))
+        if isinstance(out_size, int)
+        else (int(out_size[0]), int(out_size[1]))
+    )
+    H, W = x.shape[-3], x.shape[-2]
+    area = float(H * W)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    target_area = (
+        jax.random.uniform(k1, (10,), minval=scale[0], maxval=scale[1]) * area
+    )
+    log_ratio = jax.random.uniform(
+        k2, (10,), minval=float(np.log(ratio[0])),
+        maxval=float(np.log(ratio[1])),
+    )
+    ar = jnp.exp(log_ratio)
+    ws = jnp.round(jnp.sqrt(target_area * ar)).astype(jnp.int32)
+    hs = jnp.round(jnp.sqrt(target_area / ar)).astype(jnp.int32)
+    valid = (ws > 0) & (ws <= W) & (hs > 0) & (hs <= H)
+    pick = jnp.argmax(valid)  # first fitting attempt (argmax = first True)
+    any_valid = jnp.any(valid)
+
+    # torchvision fallback: whole image clamped to the ratio range, centered
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        fw, fh = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        fw, fh = int(round(H * ratio[1])), H
+    else:
+        fw, fh = W, H
+    h = jnp.where(any_valid, hs[pick], fh)
+    w = jnp.where(any_valid, ws[pick], fw)
+    # randint with a traced bound: floor(U[0,1) * (n+1)), clipped for the
+    # u=1-ulp edge
+    i_rand = jnp.clip(
+        jnp.floor(jax.random.uniform(k3, ()) * (H - h + 1)), 0, H - h
+    ).astype(jnp.int32)
+    j_rand = jnp.clip(
+        jnp.floor(jax.random.uniform(k4, ()) * (W - w + 1)), 0, W - w
+    ).astype(jnp.int32)
+    i = jnp.where(any_valid, i_rand, (H - h) // 2)
+    j = jnp.where(any_valid, j_rand, (W - w) // 2)
+    return resized_crop_bilinear_torch(x, i, j, h, w, out_h, out_w)
+
+
 def _parse_size(size: Union[int, str]) -> Tuple[int, int]:
     """'248-280' -> (248, 280); 224 -> (224, 224) (a fixed 'range')."""
     if isinstance(size, str):

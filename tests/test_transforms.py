@@ -182,3 +182,82 @@ def test_eval_fn_uses_torch_exact_resize():
     i, j = int(round((nh - cs) / 2.0)), int(round((nw - cs) / 2.0))
     want = t[:, :, i:i + cs, j:j + cs].permute(1, 0, 2, 3).numpy()[None, None]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resized_crop_dynamic_vs_torch():
+    """resized_crop_bilinear_torch with a traced (i, j, h, w) box ==
+    torch crop + F.interpolate(bilinear, antialias=False). The dynamic
+    path computes the scale as a traced f32 (no FMA emulation possible),
+    so parity is to float noise (~1e-2 on 0..255 pixels), not bit-exact
+    like the static-tap eval resize."""
+    import torch
+    import torch.nn.functional as F
+
+    x = RNG.integers(0, 256, size=(2, 37, 53, 3)).astype(np.float32)
+    for (i, j, h, w, oh, ow) in [
+        (3, 5, 20, 30, 16, 16),    # downscale
+        (0, 0, 37, 53, 24, 24),    # full image
+        (10, 40, 7, 13, 32, 8),    # upscale rows, downscale cols
+        (36, 52, 1, 1, 8, 8),      # degenerate 1x1 box -> constant
+    ]:
+        from avt_tpu.data.transforms import resized_crop_bilinear_torch
+
+        fn = jax.jit(
+            lambda a, ii, jj, hh, ww, o1=oh, o2=ow:
+            resized_crop_bilinear_torch(a, ii, jj, hh, ww, o1, o2)
+        )
+        ours = np.asarray(fn(jnp.asarray(x), i, j, h, w))
+        crop = torch.tensor(
+            x[:, i:i + h, j:j + w, :].transpose(0, 3, 1, 2)
+        )
+        ref = F.interpolate(
+            crop, (oh, ow), mode="bilinear", align_corners=False
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(
+            ours, ref, atol=1.5e-2, rtol=0,
+            err_msg=f"box {(i, j, h, w)} -> {(oh, ow)}",
+        )
+
+
+def test_random_resized_crop_contract():
+    """random_resized_crop (reference common/transforms.py:195-230 /
+    torchvision get_params): static output shape under jit, time-consistent
+    box, degenerate scale/ratio reduces to a plain full-image resize, and
+    the no-fit fallback takes the aspect-clamped center crop."""
+    from avt_tpu.data.transforms import (
+        random_resized_crop,
+        resize_bilinear_torch,
+        resized_crop_bilinear_torch,
+    )
+
+    x = jnp.asarray(RNG.random((4, 32, 48, 3)).astype(np.float32))
+    out = jax.jit(
+        lambda a, k: random_resized_crop(a, k, 16)
+    )(x, jax.random.PRNGKey(0))
+    assert out.shape == (4, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # interpolation cannot leave the source value range
+    assert float(out.min()) >= float(x.min()) - 1e-6
+    assert float(out.max()) <= float(x.max()) + 1e-6
+
+    # scale=(1,1) ratio=(1,1) on a square image: the only fitting box is
+    # the full image -> equals the plain bilinear resize
+    sq = x[:, :, :32]
+    a = np.asarray(
+        random_resized_crop(sq, jax.random.PRNGKey(1), 16,
+                            scale=(1.0, 1.0), ratio=(1.0, 1.0))
+    )
+    b = np.asarray(resize_bilinear_torch(sq, 16, 16))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=0)
+
+    # impossible ratio range -> torchvision fallback: in_ratio(1.5) <
+    # ratio[0] -> w=W, h=round(W/ratio[0]), centered
+    fb = np.asarray(
+        random_resized_crop(x, jax.random.PRNGKey(2), 16,
+                            ratio=(50.0, 60.0))
+    )
+    h = round(48 / 50.0)  # 1
+    expected = np.asarray(
+        resized_crop_bilinear_torch(x, (32 - h) // 2, 0, h, 48, 16, 16)
+    )
+    np.testing.assert_allclose(fb, expected, atol=1e-6, rtol=0)
