@@ -22,6 +22,7 @@ Reference surfaces exercised (imported from /root/reference):
   * func/train.py iteration semantics  (step order, per-iter sched.step)
 """
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -379,3 +380,236 @@ def test_grad_clip_with_frozen_group_vs_reference_semantics():
     np.testing.assert_allclose(
         np.asarray(params["frozen"]["kernel"]), init["frozen"]["kernel"],
         rtol=0, atol=0, err_msg="frozen group moved")
+
+
+class _AttrDict(dict):
+    """Minimal OmegaConf stand-in: attribute get/set over nested dicts."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+@pytest.mark.parametrize("variant", ["past_nce", "maps_nce"])
+def test_full_composition_sgd_trajectory_vs_reference(variant):
+    """Multi-step trajectory of the FULL composition — identity backbone ->
+    agg -> clip unfold -> AVTh -> heads (past-classifier + NCE project MLP
+    + regression head, or cls-mapping marginalization + NCE), Basic-op
+    losses weighted per func/train.py:207-217 — trained 6 steps with
+    nesterov SGD + L2 weight decay under a warmup-wrapped per-iteration
+    cosine, against torch.optim stepping the reference BaseModel from the
+    same weights and batches. Pins the per-step loss trace and EVERY final
+    parameter leaf-for-leaf: the one-step differential
+    (test_diff_reference.test_full_composition_grads_vs_reference) catches
+    wrong gradients; this additionally catches optimizer/scheduler coupling
+    errors interacting with the composed graph over time.
+
+    classifier_on_past cannot combine with use_cls_mappings: the REFERENCE
+    crashes there (torch.mm on the 3-D past features,
+    models/base_model.py:236 'self must be a matrix'), so the two maximal
+    variants are tested separately — same split its shipped configs imply.
+    Reference: models/base_model.py:140-273, func/train_eval_ops.py:45-145,
+    func/train.py:207-231,261-265."""
+    use_maps = variant == "maps_nce"
+    on_past = variant == "past_nce"
+    from avt_tpu.models import (
+        AVTModel,
+        IdentityAgg,
+        IdentityBackbone,
+        LinearClassifier,
+    )
+    from avt_tpu.train.ops import basic_loss_accuracy
+    from avt_tpu.train.step import weighted_loss_sum
+
+    ref_bm = ref_harness.import_ref("models.base_model")
+    ref_ops = ref_harness.import_ref("func.train_eval_ops")
+    ref_mse = ref_harness.import_ref("loss_fn.mse")
+
+    B2, clips, crops, C = 2, 6, 2, 24
+    n_act, n_verb, inter, nl, nh, steps = 6, 3, 32, 2, 2, 6
+    base_lr, wd, eta_min = 0.05, 5e-3, 1e-5
+    cfg = _AttrDict(
+        backbone={"_target_": "torch.nn.Identity"},
+        backbone_last_n_modules_to_drop=0,
+        backbone_dim=C,
+        intermediate_featdim=None,
+        temporal_aggregator={"_target_": "models.temporal_aggregation.Identity"},
+        same_temp_agg_dim=False,
+        future_predictor={
+            "_target_": "models.future_prediction.AVTh",
+            "output_len": 1, "avg_last_n": 1, "return_past_too": True,
+            "inter_dim": inter, "n_layer": nl, "n_head": nh,
+            "future_pred_loss": {"_target_": "loss_fn.mse.NormedMSE"},
+        },
+        project_dim_for_nce=16,
+        temporal_aggregator_after_future_pred={
+            "_target_": "models.temporal_aggregation.Identity"
+        },
+        dropout=0.0,
+        use_cls_mappings=use_maps,
+        classifier={"_target_": "torch.nn.Linear"},
+        add_regression_head=True,
+        classifier_on_past=on_past,
+        bn=_AttrDict(eps=1e-5, mom=0.1),
+    )
+    via = np.zeros((n_act, n_verb), np.float32)
+    for a in range(n_act):
+        via[a, a % n_verb] = 1.0
+    torch.manual_seed(29)
+    ref = ref_bm.BaseModel(
+        cfg,
+        num_classes={"action": n_act, "verb": n_verb},
+        class_mappings={("verb", "action"): torch.from_numpy(via)},
+    ).eval()
+    sd0 = {
+        k: v.detach().numpy().copy() for k, v in ref.state_dict().items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+    }
+    converted = avt_checkpoint_to_flax(sd0)
+
+    classifiers = {"action": LinearClassifier(out_features=n_act)}
+    if not use_maps:
+        classifiers["verb"] = LinearClassifier(out_features=n_verb)
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=IdentityAgg(in_features=C),
+        future_predictor=AVTh(
+            in_features=C, inter_dim=inter, n_layer=nl, n_head=nh,
+            output_len=1, avg_last_n=1, return_past_too=True,
+            embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+            future_pred_loss=lambda p, t: normed_mse(p, t, reduction="none"),
+        ),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=C),
+        classifiers=classifiers,
+        num_classes=(("action", n_act), ("verb", n_verb)),
+        class_mappings=((("verb", "action"), via),),
+        backbone_dim=C,
+        dropout=0.0,
+        use_cls_mappings=use_maps,
+        classifier_on_past=on_past,
+        project_dim_for_nce=16,
+        add_regression_head=True,
+    )
+
+    videos = RNG.normal(
+        size=(steps, B2, clips, crops, C, 1, 1, 1)).astype(np.float32)
+    acts = RNG.integers(0, n_act, size=(steps, B2))
+    verbs = RNG.integers(-1, n_verb, size=(steps, B2))  # incl. ignore rows
+    sub_a = RNG.integers(-1, n_act, size=(steps, B2, clips, 3))
+    sub_v = RNG.integers(-1, n_verb, size=(steps, B2, clips, 3))
+    fut_tgt = RNG.normal(size=(steps, B2, clips, 16)).astype(np.float32)
+    loss_wts = {
+        "cls_action": 1.0, "cls_verb": 0.4, "feat": 0.8,
+        "reg": 0.7, "regm": 0.5,
+    }
+    if on_past:
+        loss_wts.update({"past_cls_action": 0.6, "past_cls_verb": 0.3})
+    subs_t = lambda i: (  # noqa: E731
+        {"action": torch.from_numpy(sub_a[i]),
+         "verb": torch.from_numpy(sub_v[i])} if on_past else None
+    )
+    subs_j = lambda i: (  # noqa: E731
+        {"action": jnp.asarray(sub_a[i]), "verb": jnp.asarray(sub_v[i])}
+        if on_past else None
+    )
+
+    # ---- torch trajectory
+    opt = torch.optim.SGD(ref.parameters(), lr=base_lr, momentum=0.9,
+                          weight_decay=wd, nesterov=True)
+    base = ref_sched.CosineLR(opt, num_epochs=2, iters_per_epoch=IPE,
+                              world_size=1, eta_min=eta_min)
+    sched = ref_sched.Warmup(opt, scheduler=base, init_lr_ratio=0.1,
+                             num_epochs=1, iters_per_epoch=IPE)
+    ref_loss_fn = ref_ops.BasicLossAccuracy(dataset=None, device="cpu")
+    want_trace = []
+    for i in range(steps):
+        opt.zero_grad()
+        t_out, t_aux = ref(torch.from_numpy(videos[i]), target_shape=(B2,))
+        t_losses, _ = ref_loss_fn(
+            t_out,
+            {"action": torch.from_numpy(acts[i]),
+             "verb": torch.from_numpy(verbs[i])},
+            subs_t(i),
+        )
+        t_losses.update(t_aux)
+        t_losses["reg"] = ref_mse.NormedMSE(reduction="none")(
+            t_out["future_projected"], torch.from_numpy(fut_tgt[i]))
+        t_losses["regm"] = t_out["logits_regression"].pow(2)
+        total = sum(loss_wts[k] * v.mean() for k, v in t_losses.items())
+        total.backward()
+        opt.step()
+        sched.step()
+        want_trace.append(float(total.detach()))
+    grad_style = {
+        name: prm.detach().numpy() for name, prm in ref.named_parameters()
+    }
+    want_params = avt_checkpoint_to_flax(grad_style)
+
+    # ---- avt trajectory from the same weights/batches
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(videos[0]), (B2,))
+    params = merge_params(init["params"], converted)
+    tx, _ = build_optimizer(
+        params, [["__all__", base_lr, wd]],
+        optimizer_name="sgd", scheduler_name="cosine",
+        iters_per_epoch=IPE, num_epochs=3, warmup_epochs=1,
+        warmup_init_lr_ratio=0.1,
+        optimizer_kwargs={"nesterov": True},
+        scheduler_kwargs={"eta_min": eta_min},
+    )
+
+    def loss_fn(p, vid, act, vrb, sa, sv, ft):
+        outputs, aux = model.apply({"params": p}, vid, (B2,))
+        losses, _ = basic_loss_accuracy(
+            outputs, {"action": act, "verb": vrb},
+            {"action": sa, "verb": sv} if on_past else None,
+            num_classes={"action": n_act, "verb": n_verb},
+        )
+        losses.update(aux)
+        losses["reg"] = normed_mse(
+            outputs["future_projected"], ft, reduction="none")
+        losses["regm"] = outputs["logits_regression"] ** 2
+        total, _ = weighted_loss_sum(losses, {k: loss_wts[k] for k in losses})
+        return total
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    opt_state = tx.init(params)
+    got_trace = []
+    for i in range(steps):
+        loss, grads = step(
+            params, jnp.asarray(videos[i]), jnp.asarray(acts[i]),
+            jnp.asarray(verbs[i]), jnp.asarray(sub_a[i]),
+            jnp.asarray(sub_v[i]), jnp.asarray(fut_tgt[i]),
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        got_trace.append(float(loss))
+    np.testing.assert_allclose(
+        got_trace, want_trace, rtol=5e-4, atol=1e-5)
+
+    # leaf-for-leaf final params, asserting every leaf was compared
+    def walk(want, got, path=""):
+        n = 0
+        for key, val in want.items():
+            assert key in got, f"missing subtree {path}{key}"
+            if isinstance(val, dict):
+                n += walk(val, got[key], path + key + "/")
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got[key]), np.asarray(val),
+                    rtol=2e-3, atol=2e-5, err_msg=f"param {path}{key}",
+                )
+                n += 1
+        return n
+
+    def count(tree):
+        return sum(
+            count(v) if isinstance(v, dict) else 1 for v in tree.values())
+
+    compared = walk(want_params, params)
+    assert compared == count(params), (
+        f"compared {compared} of {count(params)} leaves")
