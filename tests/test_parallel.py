@@ -220,3 +220,31 @@ def test_tensor_parallel_training_equals_single_device():
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
             err_msg=str(path),
         )
+
+
+def test_cache_rollout_sharded_equals_unsharded():
+    """AVTh rollout_mode='cache' under a 'data'-sharded batch == the
+    unsharded forward. The cache path's per-layer dynamic_update_slice
+    writes and masked single-query attention are plain XLA ops, so GSPMD
+    shards them on the batch dim without replication — this pins that the
+    long-rollout decode path stays multi-chip-correct (the recompute path
+    is covered by the e2e mesh tests)."""
+    from avt_tpu.models import AVTh
+
+    B, T0, C = 16, 6, 24
+    model = AVTh(
+        in_features=C, inter_dim=32, n_layer=2, n_head=2, output_len=6,
+        avg_last_n=-1, return_past_too=False, rollout_mode="cache",
+    )
+    feats = jnp.asarray(RNG.normal(size=(B, T0, C)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats)
+
+    fwd = jax.jit(lambda p, f: model.apply(p, f)[1])
+    want = np.asarray(fwd(params, feats))
+
+    mesh = make_mesh(8, 1)
+    fs = shard_batch({"f": feats}, mesh)["f"]
+    ps = shard_params(params, mesh)
+    assert "data" in str(fs.sharding.spec)
+    got = np.asarray(fwd(ps, fs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
