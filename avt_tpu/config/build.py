@@ -163,8 +163,17 @@ def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
             num_frames, 1, frame_rate=data_cfg.get("frame_rate")
         )
     if precomp_fpath and not os.path.exists(precomp_fpath):
-        with open(precomp_fpath, "wb") as f:
-            pickle.dump(ds.metadata, f)
+        # rank-0 only (the reference gates with utils.save_on_master,
+        # data.py:54-55) and atomic: a tmp + rename means a crash or a
+        # concurrent reader never sees a truncated pickle that the
+        # exists-check would then treat as valid forever
+        import jax
+
+        if jax.process_index() == 0:
+            tmp = f"{precomp_fpath}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(ds.metadata, f)
+            os.replace(tmp, precomp_fpath)
     return ds
 
 

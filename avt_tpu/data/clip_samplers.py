@@ -23,7 +23,7 @@ list of ints.
 """
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence, Union
+from typing import Iterator, Sequence, Union
 
 import numpy as np
 
@@ -59,33 +59,45 @@ class UniformClipSampler:
 
 class RandomClipSampler:
     """At most max_clips_per_video random clips per video, globally
-    shuffled (reference common/sampler.py:95-126). The reference draws from
-    torch's global RNG; here a seeded numpy Generator (reseed per epoch via
-    `seed()` if reproducible epochs are wanted)."""
+    shuffled (reference common/sampler.py:95-126).
+
+    RNG contract (deliberate delta, documented): the reference draws from
+    torch's GLOBAL RNG, whose cross-rank agreement rests on every rank
+    having called torch.manual_seed(cfg.seed) and made the same number of
+    draws since. Here the order is a pure function of (seed, epoch) —
+    re-iterating is idempotent (no hidden RNG mutation from len() or extra
+    passes), every rank with the same seed emits the SAME order (so the
+    DistributedSamplerWrapper partitions one global permutation instead of
+    striding N different ones), and a preempted run's fast-forward replays
+    the exact pre-crash order (the bitwise-resume guarantee,
+    test_crash_resume_trajectory_equivalence). Reshuffle per epoch via
+    set_epoch, like every sampler here."""
 
     def __init__(
         self,
         video_clips,
         max_clips_per_video: int,
-        rng: Optional[np.random.Generator] = None,
+        seed: int = 0,
     ):
         self.clip_lengths = _clip_lengths(video_clips)
         self.max_clips_per_video = max_clips_per_video
-        self.rng = rng if rng is not None else np.random.default_rng()
+        self.seed = seed
+        self.epoch = 0
 
-    def seed(self, seed: int) -> None:
-        self.rng = np.random.default_rng(seed)
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
 
     def __iter__(self) -> Iterator[int]:
+        rng = np.random.default_rng((self.seed, self.epoch))
         idxs = []
         s = 0
         for length in self.clip_lengths:
             size = min(length, self.max_clips_per_video)
-            sampled = self.rng.permutation(length)[:size] + s
+            sampled = rng.permutation(length)[:size] + s
             s += length
             idxs.append(sampled)
         idxs = np.concatenate(idxs) if idxs else np.zeros((0,), np.int64)
-        return iter(idxs[self.rng.permutation(len(idxs))].tolist())
+        return iter(idxs[rng.permutation(len(idxs))].tolist())
 
     def __len__(self) -> int:
         return sum(
@@ -128,6 +140,10 @@ class DistributedSamplerWrapper:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # drive the wrapped sampler's reshuffle too: the loader only calls
+        # set_epoch on the outermost sampler (like torch DataLoader)
+        if hasattr(self.source, "set_epoch"):
+            self.source.set_epoch(epoch)
 
     def _is_sampler(self) -> bool:
         return isinstance(self.source, (UniformClipSampler, RandomClipSampler)) or (

@@ -82,7 +82,14 @@ class DataLoader:
 
     def _epoch_indices(self) -> np.ndarray:
         if self.sampler is not None:
-            return np.fromiter(iter(self.sampler), dtype=np.int64)
+            # cached per epoch: samplers are (seed, epoch)-deterministic,
+            # but materializing is O(n) and len()/__iter__ both need it
+            cached = getattr(self, "_sampler_cache", None)
+            if cached is not None and cached[0] == self.epoch:
+                return cached[1]
+            idx = np.fromiter(iter(self.sampler), dtype=np.int64)
+            self._sampler_cache = (self.epoch, idx)
+            return idx
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -116,7 +123,8 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict]:
         indices = self._epoch_indices()
         bs = self.batch_size
-        nb = len(self)
+        n = len(indices)
+        nb = n // bs if self.drop_last else int(np.ceil(n / bs))
         backfill_rng = np.random.default_rng(self.seed + 7919 + self.epoch)
         with ThreadPoolExecutor(self.num_workers) as pool:
             # pipeline: submit batch i+1 while collating batch i

@@ -173,7 +173,7 @@ class AVTh(nn.Module):
             return self.encoder.attend(hidden)
         return self.decoder(hidden)
 
-    def _cached_rollout(self, encoded, L, train, dkey, t_max):
+    def _cached_rollout(self, encoded, L, train, dkey):
         """KV-cache decode: one prefill + L-1 single-token steps.
 
         Processes O(T0 + L) tokens where the static recompute processes
@@ -185,8 +185,7 @@ class AVTh(nn.Module):
         B, T0, _ = encoded.shape
         Tc = T0 + L - 1
         h0, kvs = self.gpt(
-            encoded, train=train, dropout_key=dkey, t_max=t_max,
-            return_kv=True,
+            encoded, train=train, dropout_key=dkey, return_kv=True,
         )
         # grow each layer's (B, T0, H, D) prefill k/v to the full cache size
         kvs = [
@@ -207,7 +206,7 @@ class AVTh(nn.Module):
                 assert self.quantized_input
                 inp = self.encoder(jnp.argmax(self._decode(inp), axis=-1))
             last, kvs = self.gpt(
-                inp, train=train, dropout_key=dkey, t_max=t_max,
+                inp, train=train, dropout_key=dkey,
                 kv_caches=kvs, position_offset=T0 + k - 1,
             )
             hiddens.append(last)
@@ -252,7 +251,6 @@ class AVTh(nn.Module):
         # --- static recompute rollout ------------------------------------
         # Position-stable dropout: ONE key shared by every pass makes the
         # recomputed prefix bit-identical to a KV cache's reused states.
-        t_max = T0 + L - 1
         dkey = None
         if (
             train
@@ -265,13 +263,13 @@ class AVTh(nn.Module):
             and L > 1
             and not self.output_attentions  # viz maps need the full pass
         ):
-            hidden = self._cached_rollout(encoded, L, train, dkey, t_max)
+            hidden = self._cached_rollout(encoded, L, train, dkey)
         else:
             # buffer of input embeddings: [encoded feats | fed-back states]
             buf = encoded
             for k in range(1, L):
                 hidden_k = self.gpt(
-                    buf, train=train, dropout_key=dkey, t_max=t_max
+                    buf, train=train, dropout_key=dkey
                 )  # (B, T0+k-1, d)
                 last = hidden_k[:, -1:, :]
                 if self.quantize_before_rollout:
@@ -284,7 +282,6 @@ class AVTh(nn.Module):
                 buf,
                 train=train,
                 dropout_key=dkey,
-                t_max=t_max,
                 output_attentions=self.output_attentions,
             )  # (B, T0+L-1, d) == cat(all_outputs)
         if self.output_attentions:

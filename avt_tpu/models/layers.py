@@ -28,11 +28,12 @@ def gelu_new(x: jax.Array) -> jax.Array:
 
 
 def position_stable_dropout(
-    x: jax.Array, key: jax.Array, rate: float, t_max: int, offset: int = 0
+    x: jax.Array, key: jax.Array, rate: float, offset: int = 0
 ) -> jax.Array:
-    """Dropout whose mask depends on (batch, position, channel) but NOT on
-    the live sequence length: the mask for the full t_max-token buffer is
-    sampled once from `key` and the [offset, offset+T) slice applied.
+    """Dropout whose mask is a pure function of (key, absolute position) —
+    independent of the live sequence length or buffer capacity: position
+    p's (B, C) mask comes from fold_in(key, p), so any window of any pass
+    that covers p regenerates the identical mask.
 
     This reproduces the reference's KV-cache dropout semantics for the AVTh
     rollout (future_prediction.py:168-202): with a cache, token t's
@@ -40,14 +41,18 @@ def position_stable_dropout(
     — and reused; with our static recompute, re-running the prefix under a
     position-stable mask regenerates bit-identical activations, so
     recompute == cache exactly, even under train-time dropout. The cached
-    decode path passes the token position as `offset`, sampling the SAME
-    per-position mask the recompute pass would.
+    decode path passes the token position as `offset` and pays only O(B*C)
+    mask generation per step (not O(B*t_max*C) as a slice-of-full-buffer
+    scheme would).
     """
     if rate == 0.0:
         return x
     B, T, C = x.shape
-    keep = jax.random.bernoulli(key, 1.0 - rate, (B, t_max, C))
-    keep = jax.lax.dynamic_slice_in_dim(keep, offset, T, axis=1)
+    pos = offset + jnp.arange(T)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pos)
+    keep = jax.vmap(
+        lambda k: jax.random.bernoulli(k, 1.0 - rate, (B, C))
+    )(keys).transpose(1, 0, 2)
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
@@ -91,7 +96,6 @@ class SelfAttention(nn.Module):
         mask=None,
         output_attentions: bool = False,
         dropout_key=None,
-        t_max: Optional[int] = None,
         kv_cache=None,
         cache_index=None,
         pos_offset: int = 0,
@@ -142,7 +146,6 @@ class SelfAttention(nn.Module):
                 out.reshape(B, T, C),
                 jax.random.fold_in(dropout_key, 0),
                 self.attn_dropout,
-                t_max,
                 pos_offset,
             )
         else:
@@ -152,7 +155,7 @@ class SelfAttention(nn.Module):
         if dropout_key is not None and train:
             out = position_stable_dropout(
                 out, jax.random.fold_in(dropout_key, 1), self.resid_dropout,
-                t_max, pos_offset,
+                pos_offset,
             )
         else:
             out = nn.Dropout(self.resid_dropout, deterministic=not train)(out)
@@ -188,7 +191,6 @@ class GPT2Block(nn.Module):
         train: bool = False,
         output_attentions: bool = False,
         dropout_key=None,
-        t_max: Optional[int] = None,
         kv_cache=None,
         cache_index=None,
         pos_offset: int = 0,
@@ -213,7 +215,6 @@ class GPT2Block(nn.Module):
                 if dropout_key is not None
                 else None
             ),
-            t_max=t_max,
             kv_cache=kv_cache,
             cache_index=cache_index,
             pos_offset=pos_offset,
@@ -238,7 +239,7 @@ class GPT2Block(nn.Module):
         if dropout_key is not None and train:
             h = position_stable_dropout(
                 h, jax.random.fold_in(dropout_key, 1), self.resid_dropout,
-                t_max, pos_offset,
+                pos_offset,
             )
         else:
             h = nn.Dropout(self.resid_dropout, deterministic=not train)(h)
@@ -277,11 +278,10 @@ class GPT2Core(nn.Module):
         position_offset: int = 0,
         output_attentions: bool = False,
         dropout_key=None,
-        t_max: Optional[int] = None,
         kv_caches=None,
         return_kv: bool = False,
     ):
-        """dropout_key/t_max: position-stable rollout dropout — pass the SAME
+        """dropout_key: position-stable rollout dropout — pass the SAME
         key for every forward of a growing rollout buffer and masks become a
         function of token position only, making recompute == KV cache.
         output_attentions: additionally return per-layer attention
@@ -290,7 +290,7 @@ class GPT2Core(nn.Module):
         forward (seeding a decode cache). kv_caches: per-layer (k, v) pairs
         of shape (B, Tc, H, D) — cached single-token decode of the one
         (B, 1, C) token at position `position_offset`; returns the updated
-        caches. Position-stable dropout masks are sliced at the token's
+        caches. Position-stable dropout masks are keyed off the token's
         position, so cached decode == full recompute under dropout too."""
         B, T, C = inputs_embeds.shape
         wpe = self.param("wpe", GPT2_INIT, (self.n_positions, C))
@@ -301,7 +301,7 @@ class GPT2Core(nn.Module):
         if dropout_key is not None and train:
             x = position_stable_dropout(
                 x, jax.random.fold_in(dropout_key, 0), self.embd_dropout,
-                t_max, position_offset,
+                position_offset,
             )
         else:
             x = nn.Dropout(self.embd_dropout, deterministic=not train)(x)
@@ -324,7 +324,6 @@ class GPT2Core(nn.Module):
                     if dropout_key is not None
                     else None
                 ),
-                t_max=t_max,
                 kv_cache=None if kv_caches is None else kv_caches[i],
                 cache_index=None if kv_caches is None else position_offset,
                 pos_offset=position_offset,

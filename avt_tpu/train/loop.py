@@ -347,10 +347,26 @@ def run_training(
 
     for s in graceful_signals:
         orig_handlers[s] = _signal.signal(s, _on_signal)
-    preempt_check = (
-        (lambda: preempt_sig["signum"] is not None)
-        if graceful_signals else None
-    )
+    preempt_check = None
+    if graceful_signals:
+        if jax.process_count() > 1:
+            # multi-host: the decision must be COLLECTIVE — if one host
+            # raised Preempted while another (whose signal landed a moment
+            # later) dispatched the next sharded chunk, the survivor would
+            # hang in its collectives until the scheduler SIGKILLs it. An
+            # any-reduce of the local flags at every chunk boundary makes
+            # all hosts stop at the same step; the per-chunk scalar
+            # allgather is noise next to a K-step chunk dispatch.
+            from jax.experimental import multihost_utils
+
+            def preempt_check():
+                local = np.array(
+                    [preempt_sig["signum"] is not None], np.int32
+                )
+                return bool(multihost_utils.process_allgather(local).any())
+        else:
+            def preempt_check():
+                return preempt_sig["signum"] is not None
     try:
         while epoch < num_epochs:
             train_loader.set_epoch(epoch)

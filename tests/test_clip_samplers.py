@@ -51,7 +51,7 @@ def test_random_clip_sampler_structure():
     max_clips = 3
     torch.manual_seed(0)
     ref_idx = list(iter(ref_sampler.RandomClipSampler(vc, max_clips)))
-    got = RandomClipSampler(vc, max_clips, rng=np.random.default_rng(0))
+    got = RandomClipSampler(vc, max_clips, seed=0)
     got_idx = list(iter(got))
     assert len(got_idx) == len(ref_idx) == len(got)
     # same per-video pick structure: min(len, max) picks, each within the
@@ -62,11 +62,43 @@ def test_random_clip_sampler_structure():
             mine = [j for j in idx if starts[i] <= j < starts[i + 1]]
             assert len(mine) == min(c, max_clips)
             assert len(set(mine)) == len(mine)
-    # seeded -> reproducible
-    got.seed(4)
-    a = list(iter(got))
-    got.seed(4)
-    assert list(iter(got)) == a
+    # (seed, epoch)-deterministic AND idempotent: re-iterating emits the
+    # same order (no hidden RNG mutation from len()/extra materializations)
+    assert list(iter(got)) == got_idx
+    len(got)
+    assert list(iter(got)) == got_idx
+    # per-epoch reshuffle via set_epoch
+    got.set_epoch(1)
+    epoch1 = list(iter(got))
+    assert epoch1 != got_idx
+    got.set_epoch(0)
+    assert list(iter(got)) == got_idx
+
+
+def test_distributed_random_sampler_partitions_one_permutation():
+    """Cross-rank contract for the RANDOM sampler under the wrapper: every
+    rank's wrapped sampler (same seed) emits the SAME global order, so the
+    ranks' shards partition ONE permutation — no clip trained twice or
+    skipped. The reference gets this from torch.manual_seed(cfg.seed) being
+    identical on all ranks before its global-RNG draws; here it is the
+    (seed, epoch) determinism of RandomClipSampler."""
+    vc = _fake_video_clips(CLIP_COUNTS)
+    world = 2
+    for epoch in (0, 3):
+        shards = []
+        for rank in range(world):
+            # separate instances per rank, same seed — as separate hosts
+            w = DistributedSamplerWrapper(
+                RandomClipSampler(vc, 3, seed=7), world, rank
+            )
+            w.set_epoch(epoch)
+            shards.append(list(iter(w)))
+        base = RandomClipSampler(vc, 3, seed=7)
+        base.set_epoch(epoch)
+        orig = list(iter(base))
+        padded = orig + orig[: (-len(orig)) % world]
+        assert sorted(shards[0] + shards[1]) == sorted(padded)
+        assert shards[0] == padded[0::world] and shards[1] == padded[1::world]
 
 
 @pytest.mark.parametrize("world", [1, 2, 3])

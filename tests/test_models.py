@@ -447,12 +447,12 @@ def test_rollout_dropout_cache_equiv():
     )
     dkey = jax.random.PRNGKey(42)
     full = core.apply(
-        params, x, train=True, dropout_key=dkey, t_max=T,
+        params, x, train=True, dropout_key=dkey,
         rngs={"dropout": jax.random.PRNGKey(2)},
     )
     for t in (3, 5, 7):
         prefix = core.apply(
-            params, x[:, :t], train=True, dropout_key=dkey, t_max=T,
+            params, x[:, :t], train=True, dropout_key=dkey,
             rngs={"dropout": jax.random.PRNGKey(3)},  # unused under PSD
         )
         # identical masks + identical math; only reduction-order rounding
