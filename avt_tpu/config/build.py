@@ -169,10 +169,17 @@ def build_dataset(dataset_cfg: Dict, data_cfg: Dict, transform=None):
         # exists-check would then treat as valid forever
         import jax
 
-        if jax.process_index() == 0:
+        metadata = getattr(ds, "metadata", None)
+        if metadata is None:
+            LOG.warning(
+                "_precomputed_metadata_file=%s configured but %s has no "
+                ".metadata attribute; skipping save", precomp_fpath,
+                type(ds).__name__,
+            )
+        elif jax.process_index() == 0:
             tmp = f"{precomp_fpath}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
-                pickle.dump(ds.metadata, f)
+                pickle.dump(metadata, f)
             os.replace(tmp, precomp_fpath)
     return ds
 

@@ -23,7 +23,7 @@ list of ints.
 """
 from __future__ import annotations
 
-from typing import Iterator, Sequence, Union
+from typing import Iterator, Optional, Sequence, Union
 
 import numpy as np
 
@@ -126,9 +126,29 @@ class DistributedSamplerWrapper:
         num_replicas: int,
         rank: int,
         shuffle: bool = False,
+        is_sampler: Optional[bool] = None,
     ):
         if not 0 <= rank < num_replicas:
             raise ValueError(f"rank {rank} out of range for {num_replicas}")
+        # Explicit sampler-vs-dataset decision (the reference uses
+        # isinstance(dataset, Sampler), common/sampler.py:36): known sampler
+        # types are samplers, sized indexables are datasets, and anything
+        # else must say which it is via `is_sampler` — a duck-typing
+        # fallback would silently shard a __getitem__-bearing sampler
+        # positionally.
+        if is_sampler is None:
+            if isinstance(source, (UniformClipSampler, RandomClipSampler)):
+                is_sampler = True
+            elif hasattr(source, "__getitem__"):
+                is_sampler = False
+            elif hasattr(source, "__iter__"):
+                raise TypeError(
+                    f"ambiguous source {type(source).__name__}: pass "
+                    "is_sampler=True/False explicitly"
+                )
+            else:
+                is_sampler = False
+        self.is_sampler = bool(is_sampler)
         self.source = source
         self.num_replicas = num_replicas
         self.rank = rank
@@ -146,9 +166,7 @@ class DistributedSamplerWrapper:
             self.source.set_epoch(epoch)
 
     def _is_sampler(self) -> bool:
-        return isinstance(self.source, (UniformClipSampler, RandomClipSampler)) or (
-            hasattr(self.source, "__iter__") and not hasattr(self.source, "__getitem__")
-        )
+        return self.is_sampler
 
     def __iter__(self) -> Iterator[int]:
         n = len(self.source)

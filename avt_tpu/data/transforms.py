@@ -176,12 +176,15 @@ def random_resized_crop(
     pick = jnp.argmax(valid)  # first fitting attempt (argmax = first True)
     any_valid = jnp.any(valid)
 
-    # torchvision fallback: whole image clamped to the ratio range, centered
+    # torchvision fallback: whole image clamped to the ratio range, centered.
+    # Floor at 1px: extreme ratio configs (e.g. ratio[0] > 2W) would round
+    # the clamped side to 0, and _resize_axis_dynamic's index clipping would
+    # then silently return edge-clamped garbage where torchvision errors.
     in_ratio = W / H
     if in_ratio < ratio[0]:
-        fw, fh = W, int(round(W / ratio[0]))
+        fw, fh = W, max(1, int(round(W / ratio[0])))
     elif in_ratio > ratio[1]:
-        fw, fh = int(round(H * ratio[1])), H
+        fw, fh = max(1, int(round(H * ratio[1]))), H
     else:
         fw, fh = W, H
     h = jnp.where(any_valid, hs[pick], fh)

@@ -31,6 +31,10 @@ from avt_tpu.train.step import TrainState
 
 _JIT_KEYS = ("video", "target", "target_subclips")
 _VIDEO_LOG_DISABLED = False
+# multi-host graceful-preemption flags are agreed collectively once per this
+# many chunks (not every chunk) to keep the pipeline free of per-chunk
+# host barriers; see run_training's preempt_check
+PREEMPT_SYNC_EVERY = 16
 
 
 class Preempted(RuntimeError):
@@ -354,12 +358,23 @@ def run_training(
             # raised Preempted while another (whose signal landed a moment
             # later) dispatched the next sharded chunk, the survivor would
             # hang in its collectives until the scheduler SIGKILLs it. An
-            # any-reduce of the local flags at every chunk boundary makes
-            # all hosts stop at the same step; the per-chunk scalar
-            # allgather is noise next to a K-step chunk dispatch.
+            # any-reduce of the local flags makes all hosts stop at the
+            # same step. Running it every chunk would add a host-synchronous
+            # barrier per chunk to the otherwise one-chunk-deep async
+            # pipeline, so it fires every PREEMPT_SYNC_EVERY chunks — the
+            # counter advances identically on all hosts (same loader
+            # length), so every host enters (or skips) each collective in
+            # lockstep, and a signal is acted on within N chunks, well
+            # inside any scheduler grace period.
             from jax.experimental import multihost_utils
 
+            chunk_counter = {"n": 0}
+
             def preempt_check():
+                n = chunk_counter["n"]
+                chunk_counter["n"] = n + 1
+                if n % PREEMPT_SYNC_EVERY != 0:
+                    return False
                 local = np.array(
                     [preempt_sig["signum"] is not None], np.int32
                 )

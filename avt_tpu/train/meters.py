@@ -74,18 +74,35 @@ def host_rss_mb() -> float:
     return 0.0
 
 
+_HBM_STATS = {"broken": False, "t": 0.0, "value": None}
+_HBM_MIN_INTERVAL_S = 10.0
+
+
 def device_hbm_mb() -> Optional[float]:
     """Device bytes-in-use in MB (the reference's CUDA max-mem readout,
     common/log.py:181). None when the backend exposes no memory_stats
-    (e.g. CPU)."""
+    (e.g. CPU). The capability probe is cached after the first failure and
+    successful reads are throttled to one per _HBM_MIN_INTERVAL_S — on
+    tunnel backends memory_stats() can be a blocking RPC, and paying that
+    per log line is waste."""
+    if _HBM_STATS["broken"]:
+        return None
+    import time as _time
+
+    now = _time.monotonic()
+    if now - _HBM_STATS["t"] < _HBM_MIN_INTERVAL_S:
+        return _HBM_STATS["value"]
     try:
         import jax
 
         stats = jax.local_devices()[0].memory_stats()
         if stats and "bytes_in_use" in stats:
-            return stats["bytes_in_use"] / (1024.0 * 1024.0)
+            _HBM_STATS["t"] = now
+            _HBM_STATS["value"] = stats["bytes_in_use"] / (1024.0 * 1024.0)
+            return _HBM_STATS["value"]
+        _HBM_STATS["broken"] = True
     except Exception:  # tunnel backends may not implement memory_stats
-        pass
+        _HBM_STATS["broken"] = True
     return None
 
 
