@@ -128,6 +128,13 @@ def main():
             }
         )
     )
+    # Regression guard: a perf regression must not slip through an
+    # otherwise-green round. 115 clips/s is ~5% under the r3 steady state
+    # (120.8); AVT_BENCH_MIN=0 disables (e.g. when the tunnel is degraded).
+    min_cps = float(os.environ.get("AVT_BENCH_MIN", "115"))
+    if B == 16 and K == 16 and clips_per_sec < min_cps:
+        log(f"REGRESSION: {clips_per_sec:.2f} clips/s < {min_cps} floor")
+        sys.exit(1)
 
 
 def main_eval():
