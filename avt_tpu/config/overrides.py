@@ -84,9 +84,14 @@ def parse_value(raw: str) -> Any:
 
     def restore(v):
         if isinstance(v, str):
-            return re.sub(
+            v = re.sub(
                 r"__INTERP_(\d+)__", lambda m: tokens[int(m.group(1))], v
             )
+            # YAML 1.1 wants "1.0e-5"; hydra's grammar accepts "1e-5".
+            # Coerce dot-less scientific notation that pyyaml left a string.
+            if re.fullmatch(r"[+-]?\d+[eE][+-]?\d+", v):
+                return float(v)
+            return v
         if isinstance(v, dict):
             return {restore(k): restore(val) for k, val in v.items()}
         if isinstance(v, list):

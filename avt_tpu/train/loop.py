@@ -334,7 +334,10 @@ def run_training(
             if logger:
                 logger.info("Resumed from epoch %.4f", start_epoch)
     rng = jax.random.PRNGKey(seed)
-    best_metric = -float("inf")
+    # 0.0 floor + >= tie rule: the reference seeds best_acc1 = 0.0 and
+    # stores on acc1 >= best_acc1 (func/train.py:815,826-831), so ties go
+    # to the LATEST epoch and the first eval always stores
+    best_metric = 0.0
     last_saved = datetime.datetime.now()
     epoch = int(start_epoch)
     partial = start_epoch - epoch
@@ -415,7 +418,12 @@ def run_training(
                     host_state=host_state_fn() if host_state_fn else None,
                 )
                 last_saved = datetime.datetime.now()
-            if eval_fn is not None and (epoch + 1) % eval_freq == 0:
+            # eval on the reference's cadence — after epochs 0, eval_freq,
+            # 2*eval_freq, ... (func/train.py:820-825: `epoch % eval_freq`
+            # on the 0-based just-finished epoch), with metric = 0 on
+            # non-eval epochs feeding best-ckpt and plateau exactly as the
+            # reference's acc1 = 0 does
+            if eval_fn is not None and eval_freq and epoch % eval_freq == 0:
                 metric = eval_fn(state, float(epoch + 1))
                 if logger:
                     logger.info(
@@ -425,17 +433,22 @@ def run_training(
                     writer.add_scalar(
                         "eval_per_epoch/primary_metric", metric, epoch + 1
                     )
-                if plateau is not None:
-                    # ReduceLROnPlateau stepped on the val metric
-                    # (func/train.py:832-834)
-                    state = plateau(state, metric)
-                if store_best and metric > best_metric and ckpt_dir:
-                    best_metric = metric
-                    save_checkpoint(
-                        ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,),
-                        rank=rank,
-                        host_state=host_state_fn() if host_state_fn else None,
-                    )
+            else:
+                metric = 0.0
+            # best checkpoint BEFORE the plateau step — the plateau may
+            # rescale the LR inside the state, and the reference stores
+            # best first (func/train.py:826-834)
+            if store_best and metric >= best_metric and ckpt_dir:
+                best_metric = metric
+                save_checkpoint(
+                    ckpt_dir, state, float(epoch + 1), names=(BEST_NAME,),
+                    rank=rank,
+                    host_state=host_state_fn() if host_state_fn else None,
+                )
+            if plateau is not None and eval_fn is not None:
+                # ReduceLROnPlateau stepped EVERY epoch on the val metric
+                # (0 on non-eval epochs), func/train.py:832-834
+                state = plateau(state, metric)
             epoch += 1
     finally:
         for s, h in orig_handlers.items():

@@ -91,7 +91,10 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     # batch, and the 'data' sharding reassembles the global array.
     world_size = jax.process_count()
     batch_size = cfg["train"]["batch_size"] * n_data // world_size
-    eval_bs = (cfg["eval"].get("batch_size") or cfg["train"]["batch_size"])
+    # null eval bs falls back to 4x train bs — no backprop so memory allows
+    # it (reference func/train.py:646-648)
+    eval_bs = (cfg["eval"].get("batch_size")
+               or cfg["train"]["batch_size"] * 4)
     eval_bs = eval_bs * n_data // world_size
     # SSL future clips: one key per future_<i>_start column the anticipation
     # conversion produced (a fixed cap would silently drop extra futures)
@@ -246,8 +249,10 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
             cooldown=scfg.get("cooldown", 0),
         )
 
+    last_eval = {}
+
     def eval_fn(state, epoch):
-        return evaluate(
+        metric = evaluate(
             eval_step, state.params, eval_loaders,
             save_dir=work_dir, epoch=epoch,
             store=cfg["eval"]["eval_fn"].get("store", True),
@@ -257,6 +262,8 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
             place_batch=place_batch,
             gather_results=lambda res: unshard_results(res, mesh),
         )
+        last_eval["metric"] = metric
+        return metric
 
     if cfg.get("test_only"):
         return eval_fn(state, 0.0)
@@ -290,7 +297,17 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         rank=jax.process_index(),
         tb_dir=os.path.join(work_dir, "tb"),
     )
-    return eval_fn(state, float(cfg["train"]["num_epochs"])) if eval_loaders else 0.0
+    if not eval_loaders:
+        return 0.0
+    # the loop evals on the reference cadence (after epochs 0, eval_freq,
+    # ...); if the FINAL epoch was already evaluated in-loop, return that
+    # metric rather than re-running eval — the reference never evals again
+    # after the loop (func/train.py:816-841)
+    n_ep = cfg["train"]["num_epochs"]
+    efreq = cfg["train"].get("eval_freq", 1)
+    if "metric" in last_eval and efreq and (n_ep - 1) % efreq == 0:
+        return last_eval["metric"]
+    return eval_fn(state, float(n_ep))
 
 
 def cli(argv=None):

@@ -119,10 +119,24 @@ def install_train_stubs():
     install_notebook_stubs()  # func/train.py imports notebooks.utils
     tv = sys.modules["torchvision"]
     tvt = tv.transforms
+    # ctor-tolerant: common/transforms.py SUBCLASSES RandomCrop and
+    # constructs ColorJitter(*args) at pipeline-build time (func/train.py
+    # builds the full transform list even for feature datasets, where it
+    # is never applied — base_video_dataset.py:742-758 permute branch)
     for name in ("RandomCrop", "RandomResizedCrop", "ColorJitter",
                  "ToPILImage", "ToTensor"):
         if not hasattr(tvt, name):
-            setattr(tvt, name, type(name, (), {}))
+            setattr(tvt, name, type(name, (), {
+                "__init__": lambda self, *a, **k: None}))
+    if not hasattr(tvt, "Lambda"):
+        class Lambda:  # torchvision.transforms.Lambda (func/train.py:558)
+            def __init__(self, fn):
+                self.fn = fn
+
+            def __call__(self, x):
+                return self.fn(x)
+
+        tvt.Lambda = Lambda
     def _sub(parent, parent_name, attr):
         name = f"{parent_name}.{attr}"
         mod = getattr(parent, attr, None) or sys.modules.get(name)

@@ -12,6 +12,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-main train+eval on video
+
 from avt_tpu.config import Composer, parse_override
 from avt_tpu.train_net import main
 

@@ -20,6 +20,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full torchvision/VMZ conv imports
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F

@@ -175,7 +175,10 @@ def test_e2e_train_eval_resume(synth, tmp_path):
         store_best=True,
         save_freq_min=None,
     )
-    m_final = metrics[6.0]
+    # reference eval cadence: after epochs 0 and 3 for eval_freq=3
+    # (func/train.py:820-825), logged as fractional epochs 1.0 and 4.0
+    assert set(metrics) == {0.0, 1.0, 4.0}, metrics
+    m_final = metrics[4.0]
     # AR5 with 6 classes: top-5 of 6 -> near-perfect once learned; check it
     # improved a lot over the untrained model
     assert m_final > max(m0 * 1.5, 60.0), (m0, m_final)

@@ -22,6 +22,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~35 min of cold XLA:CPU compiles
+
 from avt_tpu.config import Composer, expand_sweeps, parse_overrides_file
 from avt_tpu.config.build import (
     build_all_datasets,

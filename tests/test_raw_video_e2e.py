@@ -16,9 +16,12 @@ from avt_tpu.config import Composer, parse_override
 from avt_tpu.data.video_decoder import have_native_decoder
 from avt_tpu.train_net import main
 
-pytestmark = pytest.mark.skipif(
-    not have_native_decoder(), reason="native decoder not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not have_native_decoder(), reason="native decoder not available"
+    ),
+    pytest.mark.slow,  # whole-main train+eval on raw video
+]
 
 CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
 FPS = 10.0
