@@ -25,6 +25,16 @@ RESULTS_SAVE_DIR = "results"
 _JIT_KEYS = ("video", "target", "target_subclips")
 
 
+def _pad_rows(node, pad: int):
+    """Repeat the first `pad` rows at the end (dicts recurse; lists too)."""
+    if isinstance(node, dict):
+        return {k: _pad_rows(v, pad) for k, v in node.items()}
+    if isinstance(node, list):
+        return node + node[:pad]
+    arr = np.asarray(node)
+    return np.concatenate([arr, arr[:pad]], axis=0)
+
+
 def evaluate(
     eval_step: Callable,
     params,
@@ -38,9 +48,18 @@ def evaluate(
     rank: int = 0,
     place_batch: Optional[Callable] = None,
     gather_results: Optional[Callable] = None,
+    pad_multiple: int = 1,
 ) -> float:
     """Run evaluation over every loader; return the primary metric of the
-    suffix-less ('') loader."""
+    suffix-less ('') loader.
+
+    pad_multiple: multi-process runs need every per-process batch to
+    divide its local data-axis device share; a ragged final eval batch is
+    padded by REPEATING leading rows — the torchvision DistributedSampler
+    the reference wraps eval loaders in pads the same way (func/train.py:
+    413 FIXME), and the duplicate idx rows are averaged out by
+    read_results' mean-per-idx merge. Online meters see the padded rows,
+    exactly like the reference's padded-sampler meters."""
     final_accuracies = {}
     for data_key, loader in data_loaders.items():
         metric_logger = MetricLogger(logger=logger)
@@ -57,6 +76,11 @@ def evaluate(
         for batch in metric_logger.log_every(
             loader, print_freq=50, header=f"[{data_key}] Test:", total=len(loader)
         ):
+            if pad_multiple > 1:
+                bsz = next(iter(batch["target"].values())).shape[0]
+                rem = bsz % pad_multiple
+                if rem:
+                    batch = _pad_rows(batch, pad_multiple - rem)
             jit_batch = {k: batch[k] for k in _JIT_KEYS if k in batch}
             if place_batch is not None:
                 jit_batch = place_batch(jit_batch, 0)

@@ -58,6 +58,11 @@ def main(argv=None):
                         help="port for --folder")
     parser.add_argument("--print-cmd", action="store_true",
                         help="print the per-host command(s) and exit")
+    parser.add_argument("--spawn", type=int, default=None, metavar="N",
+                        help="spawn N coordinator-connected local train "
+                             "processes (the reference submitit_local's "
+                             "one-task-per-GPU analog, launch.py:277-280); "
+                             "per-rank logs + pid files land in the run dir")
     parser.add_argument("--nodes", type=int, default=None,
                         help="host count for --print-cmd; defaults to the "
                              "config's hydra.launcher.nodes")
@@ -81,7 +86,10 @@ def main(argv=None):
         import signal
 
         killed = 0
-        for pid_file in sorted(Path(out_dir).glob("*/run.pid")):
+        pid_files = sorted(Path(out_dir).glob("*/run.pid")) + sorted(
+            Path(out_dir).glob("*/run.*.pid")  # --spawn non-zero ranks
+        )
+        for pid_file in pid_files:
             try:
                 pid = int(pid_file.read_text().strip())
                 os.kill(pid, signal.SIGTERM)
@@ -133,6 +141,58 @@ def main(argv=None):
                     f"JAX_NUM_PROCESSES={nodes} JAX_PROCESS_ID={pid} {base}"
                 )
         return
+    if args.spawn and args.spawn > 1:
+        # submitit_local analog: N coordinator-connected local processes
+        # sharing the run dir (rank-0 checkpoints, per-rank H5 + pid files).
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        os.makedirs(out_dir, exist_ok=True)
+        procs = []
+        for rank in range(args.spawn):
+            env = dict(os.environ)
+            env.update(
+                JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                JAX_NUM_PROCESSES=str(args.spawn),
+                JAX_PROCESS_ID=str(rank),
+            )
+            log_path = os.path.join(out_dir, f"rank{rank}.log")
+            logf = open(log_path, "w")
+            procs.append((
+                subprocess.Popen(
+                    [sys.executable, "-m", "avt_tpu.train_net"] + cmd_tail,
+                    env=env, stdout=logf, stderr=subprocess.STDOUT,
+                ),
+                logf,
+                log_path,
+            ))
+            logger.info("Spawned rank %d (pid %d) -> %s", rank,
+                        procs[-1][0].pid, log_path)
+        import time
+
+        rcs = [None] * args.spawn
+        while any(rc is None for rc in rcs):
+            for i, (p, _, _) in enumerate(procs):
+                if rcs[i] is None:
+                    rcs[i] = p.poll()
+            if any(rc not in (None, 0) for rc in rcs):
+                # a dead rank leaves survivors hung in collectives —
+                # terminate them (their own SIGTERM handler checkpoints)
+                for i, (p, _, _) in enumerate(procs):
+                    if rcs[i] is None:
+                        p.terminate()
+            time.sleep(0.5)
+        for rank, (p, logf, log_path) in enumerate(procs):
+            logf.close()
+            if rcs[rank] != 0:
+                logger.error("rank %d exited %d — see %s", rank, rcs[rank],
+                             log_path)
+        if any(rcs):
+            raise SystemExit(max(rcs))
+        return rcs
+
     if args.profile:
         import jax
 

@@ -19,14 +19,35 @@ CKPT_NAME = "checkpoint"
 BEST_NAME = "checkpoint_best"
 
 
-def _save(path: str, payload):
+def _save(path: str, payload, rank: int = 0, multiproc: bool = False):
+    """Atomic orbax save: write to <path>.tmp, rename over <path>.
+
+    Multi-process: orbax's (async) save is a COLLECTIVE — every process
+    must call it (each host writes its addressable shards; orbax syncs
+    internally), so only the filesystem mutations are rank-gated, with
+    barriers so no rank races the rename (assumes the usual shared-fs
+    checkpoint dir; on one machine that's trivially true)."""
     ckptr = ocp.StandardCheckpointer()
     tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    if rank == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_tmp_clear:" + path)
     ckptr.save(os.path.abspath(tmp), payload)
     ckptr.wait_until_finished()
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_written:" + path)
+    if rank == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_renamed:" + path)
 
 
 def save_checkpoint(
@@ -40,18 +61,43 @@ def save_checkpoint(
 ):
     """Write the rolling checkpoint (and optional extra names).
 
+    Call from EVERY process (like the reference's save_on_master callers,
+    common/utils.py:101-103): single-process saves are rank-gated here,
+    multi-process saves are orbax collectives — see _save.
+
     host_state: small dict of host-side scalars saved alongside the
     TrainState (e.g. the ReduceLROnPlateau tracker counters — the reference
     stores scheduler state in its checkpoint too, func/train.py:52-74).
     """
-    if rank != 0:
+    multiproc = jax.process_count() > 1
+    if not multiproc and rank != 0:
         return
-    os.makedirs(ckpt_dir, exist_ok=True)
-    payload = {"state": jax.device_get(state), "epoch": np.asarray(epoch)}
+    if rank == 0:
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    # Localize to host numpy wherever possible so the checkpoint is
+    # TOPOLOGY-FREE (resumable on any process/device layout — the
+    # reference's torch.save state_dicts have the same property). Only
+    # params actually sharded ACROSS hosts (model-parallel spanning
+    # processes) stay as global arrays, which orbax writes shard-by-shard
+    # (that checkpoint then needs matching shardings at restore).
+    def _localize(leaf):
+        if isinstance(leaf, jax.Array):
+            if leaf.is_fully_addressable:
+                return np.asarray(jax.device_get(leaf))
+            if leaf.is_fully_replicated:
+                return np.asarray(leaf.addressable_data(0))
+        return leaf
+
+    payload = {
+        "state": jax.tree.map(_localize, state),
+        "epoch": np.asarray(epoch),
+    }
     if host_state:
         payload["host"] = {k: np.asarray(v) for k, v in host_state.items()}
     for name in names:
-        _save(os.path.join(ckpt_dir, name), payload)
+        _save(os.path.join(ckpt_dir, name), payload, rank=rank,
+              multiproc=multiproc)
 
 
 def restore_checkpoint(

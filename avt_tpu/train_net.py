@@ -38,7 +38,22 @@ from avt_tpu.utils import get_logger
 CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
 
 
+def _apply_platform_env():
+    """Honor AVT_PLATFORM=cpu|tpu|axon before any backend use.
+
+    Needed because env JAX_PLATFORMS alone can be overridden by
+    site-level platform registration; an explicit config update always
+    wins. Lets `launch --spawn N` children (and users) force the CPU
+    backend for multi-process runs on one host."""
+    plat = os.environ.get("AVT_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(cfg: Dict, work_dir: str = ".") -> float:
+    _apply_platform_env()
     import jax
     import jax.numpy as jnp
 
@@ -60,14 +75,17 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     seed = cfg.get("seed", 42)
     np.random.seed(seed)
 
-    from avt_tpu.utils import enable_compile_cache
-
-    enable_compile_cache()
-
     # Multi-host init (no-op single host), then one (data x model) mesh over
     # every device — the reference's DDP wrap (func/train.py:771-782) is the
     # 'data' axis; 'model' is a tensor-parallel seam it never had.
+    # MUST precede enable_compile_cache(): the cache probe reads
+    # jax.default_backend(), which initializes XLA, and
+    # jax.distributed.initialize() refuses to run after that.
     setup_distributed(logger)
+
+    from avt_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     pcfg = cfg.get("parallel") or {}
     n_model = int(pcfg.get("model_size") or 1)
     n_data = jax.device_count() // n_model
@@ -261,6 +279,12 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
             logger=logger, rank=jax.process_index(),
             place_batch=place_batch,
             gather_results=lambda res: unshard_results(res, mesh),
+            # ragged final eval batches only need padding when the batch
+            # must be assembled ACROSS processes; single-host GSPMD
+            # handles uneven batch dims natively
+            pad_multiple=(
+                n_data // world_size if world_size > 1 else 1
+            ),
         )
         last_eval["metric"] = metric
         return metric
@@ -344,8 +368,15 @@ def cli(argv=None):
         os.makedirs(work_dir, exist_ok=True)
         logger.info("Run %d -> %s", run_id, work_dir)
         # run.pid lets `launch --kill` stop this run by exact PID — the
-        # local-scheduler analog of the reference's scancel (launch.py:229)
-        pid_file = os.path.join(work_dir, "run.pid")
+        # local-scheduler analog of the reference's scancel (launch.py:229).
+        # Under `launch --spawn N` every rank shares the work dir, so
+        # non-zero ranks write run.<rank>.pid (reference submitit_local ran
+        # one task per GPU with per-task bookkeeping, launch.py:277-280)
+        rank = int(
+            os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK") or 0
+        )
+        pid_name = "run.pid" if rank == 0 else f"run.{rank}.pid"
+        pid_file = os.path.join(work_dir, pid_name)
         with open(pid_file, "w") as f:
             f.write(str(os.getpid()))
         try:
