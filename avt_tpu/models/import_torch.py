@@ -14,6 +14,7 @@ Key layout transforms (the reference's "hard part" #4, SURVEY.md §7):
 from __future__ import annotations
 
 import logging
+import os
 import re
 from typing import Any, Dict, Mapping, Optional
 
@@ -527,6 +528,40 @@ def init_from_model(params: Dict, specs, loader=load_torch_state_dict) -> Dict:
             module, ckpt_prefix, path = spec[0], None, spec[1]
         else:
             module, ckpt_prefix, path = spec
+        if os.path.isdir(str(path)):
+            # our own orbax checkpoint (train/checkpoint.py layout): merge
+            # the saved TrainState's variables directly, no torch->flax
+            # conversion — the fine-tune-from-own-run path the reference's
+            # expts use with their .pth run dirs (e.g. expts/01 testonly)
+            if module or ckpt_prefix:
+                raise ValueError(
+                    "init_from_model: module/prefix specs are for torch "
+                    f"checkpoints; {path} is an avt_tpu checkpoint dir "
+                    "(whole-model init only)"
+                )
+            import orbax.checkpoint as ocp
+
+            restored = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(str(path))
+            )
+            variables = restored["state"]["params"]
+            if not (isinstance(variables, Mapping) and "params" in variables):
+                raise ValueError(
+                    f"init_from_model: {path} does not look like a saved "
+                    "TrainState (missing state/params/params)"
+                )
+            if isinstance(new_params, Mapping) and "params" in new_params:
+                new_params = {
+                    coll: merge_params(new_params[coll], ctree)
+                    for coll, ctree in variables.items()
+                    if coll in new_params
+                } | {
+                    coll: tree for coll, tree in new_params.items()
+                    if coll not in variables
+                }
+            else:
+                new_params = merge_params(new_params, variables["params"])
+            continue
         sd = loader(path)
         if ckpt_prefix:
             sd = {

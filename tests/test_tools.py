@@ -145,3 +145,73 @@ def test_compute_centroids_cli_npy(tmp_path):
     assert cents.shape == (2, 3)
     d = np.linalg.norm(true[:, None] - cents[None], axis=-1)
     assert (d.min(axis=1) < 0.1).all()
+
+
+def test_viz_attention_tool(tmp_path):
+    """tools/viz_attention.py end to end on a synthetic clip: decode ->
+    eval preprocess -> AVTh forward with output_attentions -> rendered
+    head-grid + frame-strip overlay PNGs per rollout step (the reference's
+    paper-figure path, models/future_prediction.py:184-188 +
+    notebooks/utils.py:232-244)."""
+    import pytest as _pytest
+
+    from avt_tpu.data.video_decoder import have_native_decoder
+
+    if not have_native_decoder():
+        _pytest.skip("native decoder not available")
+    _viz_spec = importlib.util.spec_from_file_location(
+        "viz_tool", Path(__file__).parent.parent / "tools" / "viz_attention.py"
+    )
+    viz_tool = importlib.util.module_from_spec(_viz_spec)
+    _viz_spec.loader.exec_module(viz_tool)
+
+    vid = tmp_path / "clip.mp4"
+    rng = np.random.default_rng(5)
+    w = cv2.VideoWriter(
+        str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    for i in range(40):
+        frame = np.full((48, 64, 3), 20 + 5 * i, np.uint8)
+        frame[:10, :10] = rng.integers(0, 255, size=(10, 10, 3))
+        w.write(frame)
+    w.release()
+
+    expt = tmp_path / "viz_expt.txt"
+    expt.write_text("\n".join([
+        "model/backbone=avt_b",
+        "model.backbone_last_n_modules_to_drop=0",
+        "+model.backbone.img_size=32",
+        "+model.backbone.patch_size=16",
+        "+model.backbone.embed_dim=32",
+        "+model.backbone.depth=1",
+        "+model.backbone.num_heads=2",
+        "model.backbone_dim=32",
+        "model/temporal_aggregator=identity",
+        "model/future_predictor=avth",
+        "+model.future_predictor.n_head=2",
+        "+model.future_predictor.n_layer=2",
+        "+model.future_predictor.inter_dim=32",
+        "+model.future_predictor.output_len=3",
+        "+model.future_predictor.avg_last_n=1",
+        "+model.future_predictor.future_pred_loss={_target_: torch.nn.MSELoss}",
+        "data_eval.num_frames=6",
+        "data_eval.frame_rate=2",
+        "data_eval.subclips.num_frames=1",
+        "data_eval.subclips.stride=1",
+        "data_eval.scale_h=36",
+        "data_eval.scale_w=-1",
+        "data_eval.crop_size=32",
+        "data_eval.mean=[0.5, 0.5, 0.5]",
+        "data_eval.std=[0.5, 0.5, 0.5]",
+    ]) + "\n")
+
+    out_dir = tmp_path / "viz"
+    written = viz_tool.main([
+        str(vid), "-c", str(expt), "-o", str(out_dir),
+        "--num-classes", "5", "--start", "0", "--end", "3.5",
+    ])
+    # output_len=3 -> steps 0..2, two PNGs each
+    assert len(written) == 6
+    for step in range(3):
+        for kind in ("heads", "overlay"):
+            p = out_dir / f"step{step}_{kind}.png"
+            assert p.exists() and p.stat().st_size > 1000, p
