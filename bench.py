@@ -23,8 +23,9 @@ import sys
 import time
 
 V100_CLIPS_PER_SEC_EST = 20.0
-# 'train' (default; the driver's headline metric) or 'eval' (the 3-crop
-# + flip challenge-submission forward, models/base.py batched-crop path)
+# 'train' (default; the driver's headline metric), 'eval' (the 3-crop
+# + flip challenge-submission forward, models/base.py batched-crop path),
+# or 'fed' (disk -> native decode -> loader -> device, .bench/fed_pipeline.md)
 MODE = os.environ.get("AVT_BENCH_MODE", "train")
 # clips per step; overridable for A/B runs (AVT_BENCH_B=32 python bench.py).
 # Train: B=16 beat 24/32 (ledger, CLAUDE.md). Eval: B=32 measured best
@@ -200,6 +201,202 @@ def main_eval():
     )
 
 
+def _make_fed_videos(vid_dir, n_videos=4, seconds=40, fps=30):
+    """Synthetic EK-scale source videos (256x342 @30fps), cached on disk."""
+    import cv2
+    import numpy as np
+
+    os.makedirs(vid_dir, exist_ok=True)
+    paths = [os.path.join(vid_dir, f"fed_{i:02d}.mp4") for i in range(n_videos)]
+    if all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths):
+        return paths, float(seconds)
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 255, size=(16, 256, 342, 3)).astype(np.uint8)
+    for vi, path in enumerate(paths):
+        w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (342, 256))
+        for f in range(seconds * fps):
+            # moving noise tile over a gradient: non-degenerate encode cost
+            frame = np.full((256, 342, 3), (f + 31 * vi) % 200, np.uint8)
+            frame[:, : 342 // 2] = noise[f % 16, :, : 342 // 2]
+            w.write(frame)
+        w.release()
+    return paths, float(seconds)
+
+
+class _FedDataset:
+    """10-frame 1-fps anticipation windows decoded from disk — the host
+    work a real EK run does per clip (a ~10 s ranged decode at source
+    fps, then frame-rate subsampling; readers.py/sampling.py semantics)."""
+
+    def __init__(self, paths, duration, n_items, n_cls):
+        from avt_tpu.data.video_decoder import LibavVideoReader
+
+        self.reader = LibavVideoReader()
+        self.paths = paths
+        self.duration = duration
+        self.n_items = n_items
+        self.n_cls = n_cls
+
+    def __len__(self):
+        return self.n_items
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        path = self.paths[i % len(self.paths)]
+        start = (i * 3.7) % (self.duration - 11.0)
+        frames, _ = self.reader(path, start, start + 10.0, None, None)
+        if frames.shape[0] < T:
+            raise IOError(f"short decode from {path}")
+        idx = np.linspace(0, frames.shape[0] - 1, T).round().astype(int)
+        rng = np.random.default_rng(i)
+        return {
+            "video": frames[idx],
+            "target": {"action": rng.integers(0, self.n_cls)},
+            "target_subclips": {
+                "action": rng.integers(-1, self.n_cls, size=(T, 1))
+            },
+            "idx": i,
+        }
+
+
+def main_fed():
+    """End-to-end FED pipeline: disk -> native libav decode -> DataLoader
+    threads -> host->device transfer -> device preproc + train step,
+    one-deep async pipeline (the loop.py overlap). Reports achieved
+    clips/s next to the synthetic-fed number and the loader-only rate,
+    from which the host cores needed to saturate one chip follow
+    (the reference ran workers=10 per GPU, conf/data/default.yaml)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avt_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    from avt_tpu.data.loader import DataLoader
+    from avt_tpu.data.transforms import VideoPreprocessor
+    from avt_tpu.models.flagship import build_avt
+    from avt_tpu.train import TrainState, build_optimizer, make_train_step
+
+    n_steps = int(os.environ.get("AVT_BENCH_FED_STEPS", "24"))
+    workers = int(os.environ.get("AVT_BENCH_FED_WORKERS", "8"))
+    vid_dir = os.environ.get("AVT_BENCH_FED_DIR", "/tmp/avt_fed_videos")
+    log(f"writing/loading synthetic videos in {vid_dir}")
+    paths, duration = _make_fed_videos(vid_dir)
+
+    dataset = _FedDataset(paths, duration, n_items=B * (n_steps + 2), n_cls=N_CLS)
+    loader = DataLoader(
+        dataset, B, shuffle=False, drop_last=True, num_workers=workers,
+        keys=["video", "target", "target_subclips", "idx"],
+    )
+
+    # loader-only rate first (same items): the pure host decode ceiling
+    t0 = time.time()
+    n_clips = 0
+    for batch in loader:
+        n_clips += batch["video"].shape[0]
+    loader_cps = n_clips / (time.time() - t0)
+    log(f"loader-only: {loader_cps:.2f} clips/s on this host")
+
+    model = build_avt(num_actions=N_CLS, vit_dtype=jnp.bfloat16)
+    pp = VideoPreprocessor(
+        crop_size=224, scale_h="248-280", scale_w=-1,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), flip_p=0.5,
+        compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
+    )
+
+    it = iter(loader)
+    b0 = next(it)
+
+    def to_dev(batch):
+        return {
+            "video": jnp.asarray(batch["video"]),
+            "target": {"action": jnp.asarray(batch["target"]["action"])},
+            "target_subclips": {
+                "action": jnp.asarray(batch["target_subclips"]["action"])
+            },
+        }
+
+    video0 = pp.train_fn(jnp.asarray(b0["video"]), jax.random.PRNGKey(0))
+    video0 = video0.transpose(0, 2, 1, 3, 4)[:, :, :, None, :, :]
+    t0 = time.time()
+    params = model.init(jax.random.PRNGKey(0), video0, (B,))
+    log(f"init done in {time.time() - t0:.0f}s")
+    tx, _ = build_optimizer(
+        params, lr_wd=[["__all__", 1e-4, 1e-5]],
+        optimizer_name="sgd", scheduler_name="cosine",
+        iters_per_epoch=1000, num_epochs=30, warmup_epochs=20,
+        optimizer_kwargs={"nesterov": True, "momentum_dtype": "bfloat16"},
+    )
+    inner = make_train_step(
+        model, tx,
+        loss_wts={"cls_action": 1.0, "past_cls_action": 1.0, "feat": 1.0},
+        num_classes={"action": N_CLS},
+        jit_compile=False,
+    )
+
+    def step_with_pp(state, batch, rng):
+        k1, k2 = jax.random.split(rng)
+        video = pp.train_fn(batch["video"], k1)
+        video = video.transpose(0, 2, 1, 3, 4)[:, :, :, None, :, :]
+        return inner(
+            state,
+            {
+                "video": video,
+                "target": {"action": batch["target"]["action"]},
+                "target_subclips": {"action": batch["target_subclips"]["action"]},
+            },
+            k2,
+        )
+
+    step = jax.jit(step_with_pp, donate_argnums=(0,))
+    state = TrainState.create(params, tx)
+    t0 = time.time()
+    state, m = step(state, to_dev(b0), jax.random.PRNGKey(0))
+    log(f"train step compiled in {time.time() - t0:.0f}s, "
+        f"loss={float(m['loss']):.3f}")
+
+    # steady state: one-deep pipeline — fetch step i's loss only after
+    # dispatching step i+1, so host decode overlaps device compute
+    loader.set_epoch(1)
+    pending = None
+    n_done = 0
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        if i >= n_steps:
+            break
+        state, m = step(state, to_dev(batch), jax.random.fold_in(
+            jax.random.PRNGKey(2), i))
+        if pending is not None:
+            _ = float(pending["loss"])
+        pending = m
+        n_done += 1
+    _ = float(pending["loss"])  # fetch forces completion
+    dt = time.time() - t0
+    fed_cps = n_done * B / dt
+    cores_needed = 120.8 / max(loader_cps, 1e-9)
+    log(f"fed: {n_done} steps, {fed_cps:.2f} clips/s "
+        f"(loader ceiling {loader_cps:.2f}; ~{cores_needed:.1f} of these "
+        f"cores to saturate the 120.8 clips/s synthetic-fed step)")
+    print(
+        json.dumps(
+            {
+                "metric": "fed clips/sec/chip (disk -> native decode -> "
+                          "loader -> device preproc + train step, "
+                          f"workers={workers} on {os.cpu_count()} host core)",
+                "value": round(fed_cps, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(fed_cps / V100_CLIPS_PER_SEC_EST, 2),
+                "loader_only_clips_per_sec": round(loader_cps, 2),
+                "host_cores_to_saturate_chip": round(cores_needed, 1),
+            }
+        )
+    )
+
+
 def _wait_for_backend():
     """Ride out a transient tunnel wedge: backend init on a wedged axon
     tunnel blocks ~25 min then raises UNAVAILABLE; recovery is spontaneous
@@ -229,4 +426,9 @@ def _wait_for_backend():
 
 if __name__ == "__main__":
     _wait_for_backend()
-    main_eval() if MODE == "eval" else main()
+    if MODE == "eval":
+        main_eval()
+    elif MODE == "fed":
+        main_fed()
+    else:
+        main()
