@@ -447,6 +447,57 @@ def summarize_results(
 
 
 # ------------------------------------------------------ per-class plots
+def save_graph(fig, outfpath: str, root_dir: str = "./", **kwargs):
+    """Figure post-process + save (reference notebooks/utils.py:63-73):
+    despine top/right, tight transparent bbox, mkdir -p the target."""
+    try:
+        import seaborn as sns
+
+        sns.despine(fig=fig, top=True, right=True, left=False, bottom=False)
+    except ImportError:  # same despine by hand
+        for ax in fig.axes:
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+    final = os.path.join(root_dir, outfpath)
+    os.makedirs(osp.dirname(final) or ".", exist_ok=True)
+    fig.savefig(final, bbox_inches="tight", transparent=True, pad_inches=0,
+                **kwargs)
+    return final
+
+
+def overlay_text(frames: np.ndarray, texts: Sequence[str]) -> np.ndarray:
+    """Burn GT/Pred labels into clip frames (reference notebooks/
+    utils.py:232-244): white banner when the prediction matches the
+    ground truth, pink when it doesn't. The reference composes moviepy
+    TextClips; this env has no moviepy, so the same banner is drawn
+    directly on the (T, H, W, 3) uint8 frames (cv2 if present, else a
+    plain banner without glyphs). Returns a new array."""
+    assert len(texts) == 2, "pass [gt, pred]"
+    match = texts[0] == texts[1]
+    color = (255, 255, 255) if match else (255, 192, 203)  # white / pink
+    labels = [f"GT: {texts[0]}", f"Pred: {texts[1]}"]
+    out = np.array(frames, copy=True)
+    banner_h = max(14, out.shape[1] // 8)
+    out[:, : 2 * banner_h, -out.shape[2] // 2:] = color
+    try:
+        import cv2
+
+        scale = banner_h / 32.0
+        for t in range(out.shape[0]):
+            for li, label in enumerate(labels):
+                cv2.putText(
+                    out[t], label,
+                    (out.shape[2] - out.shape[2] // 2 + 2,
+                     int((li + 0.8) * banner_h)),
+                    cv2.FONT_HERSHEY_SIMPLEX, scale, (0, 0, 0), 1,
+                    cv2.LINE_AA,
+                )
+    except ImportError:
+        logging.getLogger(__name__).warning(
+            "cv2 unavailable: overlay banner drawn without text glyphs")
+    return out
+
+
 def plot_per_cls_perf(
     per_cls_accs: Sequence[Sequence[Dict[int, float]]],
     names: Sequence[str],

@@ -227,3 +227,35 @@ def test_get_epic_action_accuracy_two_runs(ds, tmp_path):
     lines = format_accuracies_epic(out, "test")
     assert lines[0].startswith("[test] Accuracies verb/noun/action: 100.0")
     assert len(lines) == 4  # no tail/unseen keys here
+
+
+def test_save_graph_and_overlay_text(tmp_path):
+    """Notebook figure helpers (reference notebooks/utils.py:63-73 save_graph,
+    :232-244 overlay_text): despine+save to a nested path; GT/Pred banner
+    white on match, pink on mismatch, frames otherwise untouched."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from avt_tpu.evaluate.analysis import overlay_text, save_graph
+
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [1, 0])
+    out = save_graph(fig, "figs/nested/a.pdf", root_dir=str(tmp_path))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert not ax.spines["top"].get_visible()
+    assert not ax.spines["right"].get_visible()
+    plt.close(fig)
+
+    frames = np.zeros((3, 64, 96, 3), np.uint8)
+    ok = overlay_text(frames, ["take plate", "take plate"])
+    bad = overlay_text(frames, ["take plate", "wash knife"])
+    assert ok.shape == frames.shape and frames.max() == 0  # input untouched
+    # banner color present (glyphs overprint parts of it): white vs pink;
+    # non-banner region untouched
+    assert (ok == 255).all(axis=-1).any()
+    assert (bad == np.array([255, 192, 203])).all(axis=-1).any()
+    assert not (ok == np.array([255, 192, 203])).all(axis=-1).any()
+    assert (ok[:, 40:, :40] == 0).all()
+    assert (bad[:, 40:, :40] == 0).all()
