@@ -126,11 +126,22 @@ def restore_checkpoint(
     try:
         restored = ckptr.restore(os.path.abspath(path), target=template)
     except Exception:
-        if host_template is None:
-            raise
-        # checkpoint written without host state: restore without it
-        template.pop("host")
-        restored = ckptr.restore(os.path.abspath(path), target=template)
+        if host_template is not None:
+            # checkpoint written without host state: restore without it
+            template.pop("host")
+            restored = ckptr.restore(os.path.abspath(path), target=template)
+        else:
+            # checkpoint CARRIES host state (e.g. plateau counters) the
+            # caller didn't ask for: discover its structure from the
+            # checkpoint metadata, restore, and drop it below
+            meta = ckptr.metadata(os.path.abspath(path))
+            host_meta = meta.item_metadata.tree.get("host")
+            if host_meta is None:
+                raise
+            template["host"] = jax.tree.map(
+                lambda m: np.zeros(m.shape, m.dtype), dict(host_meta)
+            )
+            restored = ckptr.restore(os.path.abspath(path), target=template)
     if host_template is None:
         return restored["state"], float(restored["epoch"])
     return (

@@ -235,7 +235,48 @@ def _data_cfg():
     }
 
 
-def _ref_cfg(annot, tmp_path, init_ckpt):
+# scheduler variants: the flagship warmup-cosine at eval_freq=1, and
+# ReduceLROnPlateau at eval_freq=2 — the latter pins the trainer's
+# subtler couplings: eval only after epochs 0 and 2 (func/train.py:
+# 820-825), acc1=0 fed to BOTH the best-checkpoint rule and the plateau
+# step on the non-eval epoch (:826-834, so the plateau REDUCES the LR
+# mid-run and epoch-3 losses shift), and best-checkpoint ties
+_VARIANTS = ("cosine_ef1", "plateau_ef2")
+
+
+def _sched_ref(variant):
+    if variant == "cosine_ef1":
+        return {
+            "scheduler": {
+                "_target_": "common.scheduler.CosineLR",
+                "num_epochs": N_EPOCHS - WARMUP_EPOCHS,
+                "eta_min": ETA_MIN,
+            },
+            "warmup": {
+                "_target_": "common.scheduler.Warmup",
+                "init_lr_ratio": WARMUP_RATIO,
+                "num_epochs": WARMUP_EPOCHS,
+            },
+            "eval_freq": 1,
+        }
+    return {
+        "scheduler": {
+            "_target_": "common.scheduler.ReduceLROnPlateau",
+            "mode": "max",
+            "factor": 0.1,
+            "patience": 0,
+        },
+        "warmup": {
+            "_target_": "common.scheduler.Warmup",
+            "init_lr_ratio": 0.0,
+            "num_epochs": 0,
+        },
+        "eval_freq": 2,
+    }
+
+
+def _ref_cfg(annot, tmp_path, init_ckpt, variant="cosine_ef1"):
+    sched = _sched_ref(variant)
     return _to_attr({
         "data_parallel": False,
         "sync_bn": False,
@@ -251,7 +292,7 @@ def _ref_cfg(annot, tmp_path, init_ckpt):
             "batch_size": BS,
             "init_from_model": [[str(init_ckpt)]],
             "num_epochs": N_EPOCHS,
-            "eval_freq": 1,
+            "eval_freq": sched["eval_freq"],
             "shuffle_data": False,
             "store_best": True,
             "train_one_epoch_fn": {
@@ -294,25 +335,36 @@ def _ref_cfg(annot, tmp_path, init_ckpt):
                 "momentum": 0.9,
                 "nesterov": True,
             },
-            "scheduler": {
-                "_target_": "common.scheduler.CosineLR",
-                "num_epochs": N_EPOCHS - WARMUP_EPOCHS,
-                "eta_min": ETA_MIN,
-            },
-            "warmup": {
-                "_target_": "common.scheduler.Warmup",
-                "init_lr_ratio": WARMUP_RATIO,
-                "num_epochs": WARMUP_EPOCHS,
-            },
+            "scheduler": sched["scheduler"],
+            "warmup": sched["warmup"],
         },
     })
 
 
-def _our_overrides(annot, tmp_path):
+def _sched_ours(variant):
+    if variant == "cosine_ef1":
+        return [
+            "train.eval_freq=1",
+            "opt/scheduler=cosine",
+            f"opt.scheduler.eta_min={ETA_MIN:.8f}",  # no sci-notation str
+            f"opt.warmup.num_epochs={WARMUP_EPOCHS}",
+            f"opt.warmup.init_lr_ratio={WARMUP_RATIO}",
+        ]
+    return [
+        "train.eval_freq=2",
+        "opt/scheduler=reduce_lr_on_plateau",
+        "+opt.scheduler.mode=max",
+        "opt.scheduler.factor=0.1",
+        "opt.scheduler.patience=0",
+        "opt.warmup.num_epochs=0",
+        "opt.warmup.init_lr_ratio=0.0",
+    ]
+
+
+def _our_overrides(annot, tmp_path, variant="cosine_ef1"):
     return [
         f"train.batch_size={BS}",
         f"train.num_epochs={N_EPOCHS}",
-        "train.eval_freq=1",
         "train.shuffle_data=false",
         "train.store_best=true",
         "train.unroll_steps=1",
@@ -331,12 +383,9 @@ def _our_overrides(annot, tmp_path):
         "+model.future_predictor.future_pred_loss="
         "{_target_: loss_fn.mse.NormedMSE}",
         "opt/optimizer=sgd",
-        "opt/scheduler=cosine",
         f"opt.lr_wd=[[__all__,{LR},{WD}]]",
         "opt.optimizer.nesterov=true",
-        f"opt.scheduler.eta_min={ETA_MIN:.8f}",  # no sci-notation strings
-        f"opt.warmup.num_epochs={WARMUP_EPOCHS}",
-        f"opt.warmup.init_lr_ratio={WARMUP_RATIO}",
+        *_sched_ours(variant),
         f"data_train.num_frames={T_FRAMES}",
         "data_train.frame_rate=1",
         "data_train.subclips.num_frames=1",
@@ -486,10 +535,10 @@ def _run_reference(ref_cfg, run_dir, monkeypatch):
     }
 
 
-def _run_ours(annot, tmp_path, init_ckpt, run_dir):
+def _run_ours(annot, tmp_path, init_ckpt, run_dir, variant="cosine_ef1"):
     spec = {
         "conf_dir": CONF_DIR,
-        "overrides": _our_overrides(annot, tmp_path),
+        "overrides": _our_overrides(annot, tmp_path, variant),
         "init_ckpt": str(init_ckpt),
         "work_dir": str(run_dir),
     }
@@ -560,7 +609,8 @@ def _read_h5_logits(results_dir):
     return out
 
 
-def test_whole_trainer_vs_reference(tmp_path, monkeypatch):
+@pytest.mark.parametrize("variant", _VARIANTS)
+def test_whole_trainer_vs_reference(tmp_path, monkeypatch, variant):
     annot = _write_tree(tmp_path)
 
     # ---- shared initial weights ------------------------------------
@@ -586,13 +636,13 @@ def test_whole_trainer_vs_reference(tmp_path, monkeypatch):
     # ---- reference side ---------------------------------------------
     ref_dir = tmp_path / "ref"
     ref_dir.mkdir()
-    ref = _run_reference(_ref_cfg(annot, tmp_path, init_ckpt), str(ref_dir),
-                         monkeypatch)
+    ref = _run_reference(_ref_cfg(annot, tmp_path, init_ckpt, variant),
+                         str(ref_dir), monkeypatch)
 
     # ---- our side (subprocess, 1 CPU device) ------------------------
     ours_dir = tmp_path / "ours"
     ours_dir.mkdir()
-    ours = _run_ours(annot, tmp_path, init_ckpt, ours_dir)
+    ours = _run_ours(annot, tmp_path, init_ckpt, ours_dir, variant)
 
     # 1. per-iteration loss traces
     ipe = 12 // BS
@@ -602,9 +652,12 @@ def test_whole_trainer_vs_reference(tmp_path, monkeypatch):
         err_msg="per-iteration training loss traces diverged",
     )
 
-    # 2. per-epoch eval primary metric (AR5, %)
-    assert [e for e, _ in ref["eval_metrics"]] == [1.0, 2.0, 3.0]
-    np.testing.assert_array_equal(ours["eval_epochs"], [1.0, 2.0, 3.0])
+    # 2. per-epoch eval primary metric (AR5, %) on the variant's cadence
+    want_epochs = (
+        [1.0, 2.0, 3.0] if variant == "cosine_ef1" else [1.0, 3.0]
+    )
+    assert [e for e, _ in ref["eval_metrics"]] == want_epochs
+    np.testing.assert_array_equal(ours["eval_epochs"], want_epochs)
     np.testing.assert_allclose(
         ours["eval_metrics"], [m for _, m in ref["eval_metrics"]],
         atol=1e-6, err_msg="per-epoch eval AR5 diverged",
