@@ -63,7 +63,7 @@ def test_spawn_two_process_equals_single_process(tmp_path, monkeypatch):
         + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
     )
 
-    def run(n_devices, spawn, out_root):
+    def run(n_devices, spawn, out_root, extra=()):
         env = dict(child_env)
         env["XLA_FLAGS"] = (
             f"--xla_force_host_platform_device_count={n_devices}"
@@ -72,6 +72,7 @@ def test_spawn_two_process_equals_single_process(tmp_path, monkeypatch):
                "-c", str(expt)]
         if spawn:
             cmd += ["--spawn", str(spawn)]
+        cmd += list(extra)
         proc = subprocess.run(
             cmd, cwd=str(out_root), env=env, capture_output=True,
             text=True, timeout=1500,
@@ -149,3 +150,28 @@ def test_spawn_two_process_equals_single_process(tmp_path, monkeypatch):
     assert not (run_dir_2 / "run.1.pid").exists()
     assert (run_dir_2.parent / "rank0.log").exists()
     assert (run_dir_2.parent / "rank1.log").exists()
+
+    # --- multi-process AUTO-RESUME: relaunch the SAME run dirs with
+    # num_epochs=4 — run_training restores the epoch-2 checkpoint into
+    # each topology's live state (both ranks on the 2-process side) and
+    # trains two more epochs; the resumed trajectories must still agree
+    run(8, spawn=None, out_root=single_root, extra=["train.num_epochs=4"])
+    run(4, spawn=2, out_root=multi_root, extra=["train.num_epochs=4"])
+    tree_1b = ckptr.restore(str((run_dir_1 / "checkpoint").resolve()))
+    tree_2b = ckptr.restore(str((run_dir_2 / "checkpoint").resolve()))
+    assert float(tree_1b["epoch"]) == float(tree_2b["epoch"]) == 4.0
+    flat_1b = jax.tree_util.tree_flatten_with_path(
+        tree_1b["state"]["params"])[0]
+    flat_2b = dict(jax.tree_util.tree_flatten_with_path(
+        tree_2b["state"]["params"])[0])
+    moved = 0
+    for path, leaf in flat_1b:
+        np.testing.assert_allclose(
+            flat_2b[path], np.asarray(leaf), rtol=1e-4, atol=1e-6,
+            err_msg=f"param {jax.tree_util.keystr(path)} diverged "
+                    "after 2-process resume",
+        )
+        moved += int(
+            not np.array_equal(np.asarray(leaf), np.asarray(flat_2[path]))
+        )
+    assert moved > 0, "resumed run trained no further"
