@@ -82,18 +82,29 @@ def parse_value(raw: str) -> Any:
     except yaml.YAMLError:
         return raw
 
-    def restore(v):
+    # An explicitly quoted scalar opts out of numeric coercion (hydra keeps
+    # quoted values as strings); mapping KEYS are never coerced either.
+    quoted = len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "\"'"
+
+    def restore(v, coerce=True):
         if isinstance(v, str):
             v = re.sub(
                 r"__INTERP_(\d+)__", lambda m: tokens[int(m.group(1))], v
             )
             # YAML 1.1 wants "1.0e-5"; hydra's grammar accepts "1e-5".
             # Coerce dot-less scientific notation that pyyaml left a string.
-            if re.fullmatch(r"[+-]?\d+[eE][+-]?\d+", v):
+            if (
+                coerce
+                and not quoted
+                and re.fullmatch(r"[+-]?\d+[eE][+-]?\d+", v)
+            ):
                 return float(v)
             return v
         if isinstance(v, dict):
-            return {restore(k): restore(val) for k, val in v.items()}
+            return {
+                restore(k, coerce=False): restore(val)
+                for k, val in v.items()
+            }
         if isinstance(v, list):
             return [restore(x) for x in v]
         return v

@@ -26,13 +26,20 @@ _JIT_KEYS = ("video", "target", "target_subclips")
 
 
 def _pad_rows(node, pad: int):
-    """Repeat the first `pad` rows at the end (dicts recurse; lists too)."""
+    """Repeat rows (wrapping) at the end (dicts recurse; lists too).
+
+    Wrap-around indexing matters: a ragged final batch can be SMALLER than
+    the pad needed (bsz=1, pad_multiple=4 -> pad=3), where a plain
+    ``arr[:pad]`` slice would under-pad and the batch still wouldn't
+    divide pad_multiple.
+    """
     if isinstance(node, dict):
         return {k: _pad_rows(v, pad) for k, v in node.items()}
     if isinstance(node, list):
-        return node + node[:pad]
+        return node + [node[i % len(node)] for i in range(pad)]
     arr = np.asarray(node)
-    return np.concatenate([arr, arr[:pad]], axis=0)
+    idx = np.arange(pad) % arr.shape[0]
+    return np.concatenate([arr, arr[idx]], axis=0)
 
 
 def evaluate(

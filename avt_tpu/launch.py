@@ -190,7 +190,9 @@ def main(argv=None):
                 logger.error("rank %d exited %d — see %s", rank, rcs[rank],
                              log_path)
         if any(rcs):
-            raise SystemExit(max(rcs))
+            # signal deaths are NEGATIVE returncodes; max() would pick a
+            # clean rank's 0 and report a failed run as success
+            raise SystemExit(max(abs(rc) for rc in rcs if rc))
         return rcs
 
     if args.profile:

@@ -544,17 +544,29 @@ def init_from_model(params: Dict, specs, loader=load_torch_state_dict) -> Dict:
             restored = ocp.PyTreeCheckpointer().restore(
                 os.path.abspath(str(path))
             )
-            variables = restored["state"]["params"]
+            try:
+                variables = restored["state"]["params"]
+            except (KeyError, TypeError, IndexError):
+                variables = None
             if not (isinstance(variables, Mapping) and "params" in variables):
                 raise ValueError(
                     f"init_from_model: {path} does not look like a saved "
-                    "TrainState (missing state/params/params)"
+                    "TrainState (missing state/params/params) — point at "
+                    "the run dir's `checkpoint` subdirectory"
                 )
             if isinstance(new_params, Mapping) and "params" in new_params:
+                extra = sorted(set(variables) - set(new_params))
+                if extra:
+                    # unresolvable specs RAISE (same contract as the torch
+                    # path): a checkpoint collection the model lacks means
+                    # the wrong checkpoint/model pairing, not a no-op
+                    raise KeyError(
+                        f"init_from_model: checkpoint {path} carries "
+                        f"collections {extra} absent from the target model"
+                    )
                 new_params = {
                     coll: merge_params(new_params[coll], ctree)
                     for coll, ctree in variables.items()
-                    if coll in new_params
                 } | {
                     coll: tree for coll, tree in new_params.items()
                     if coll not in variables

@@ -203,9 +203,12 @@ def train_one_epoch(
                     f"train_per_iter/{k}", float(v), sid0 + n_steps - 1
                 )
 
+    n_procs = jax.process_count()
+    chunk_idx = -1
     for chunk in metric_logger.log_every(
         chunked(), print_freq, f"Epoch [{epoch}]", total=n_chunks
     ):
+        chunk_idx += 1
         cur_epoch = step_id / batches_per_epoch
         if preempt_check is not None and preempt_check():
             if pending is not None:
@@ -219,10 +222,29 @@ def train_one_epoch(
             raise Preempted(cur_epoch)
         now = datetime.datetime.now()
         mins_since = (now - last_saved_time).total_seconds() / 60.0
+        time_due = bool(save_freq_min and mins_since >= save_freq_min)
+        if save_freq_min and n_procs > 1:
+            # save_checkpoint is a cross-host collective, but wall clocks
+            # skew across hosts — a host-local time trigger would let host
+            # A enter the save barrier while host B dispatches the next
+            # chunk's psums (collective mismatch = deadlock). Broadcast
+            # rank 0's decision on a fixed chunk schedule instead: every
+            # host enters (or skips) each broadcast in lockstep, so the
+            # save chunk is agreed. Same pattern as preempt_check.
+            if chunk_idx % PREEMPT_SYNC_EVERY == 0:
+                from jax.experimental import multihost_utils
+
+                time_due = bool(
+                    multihost_utils.broadcast_one_to_all(
+                        np.int32(time_due)
+                    )
+                )
+            else:
+                time_due = False
         bucket = step_id // save_freq_steps if save_freq_steps else -1
         if ckpt_dir and (
             (save_freq_steps and bucket > last_save_bucket)
-            or (save_freq_min and mins_since >= save_freq_min)
+            or time_due
         ):
             # drain the in-flight chunk FIRST so its NaN abort fires before
             # the (possibly NaN) state can overwrite the rolling checkpoint

@@ -100,10 +100,16 @@ def device_hbm_mb() -> Optional[float]:
             _HBM_STATS["t"] = now
             _HBM_STATS["value"] = stats["bytes_in_use"] / (1024.0 * 1024.0)
             return _HBM_STATS["value"]
+        # stats exist but lack bytes_in_use: a capability gap, sticky
         _HBM_STATS["broken"] = True
-    except Exception:  # tunnel backends may not implement memory_stats
-        _HBM_STATS["broken"] = True
-    return None
+        return None
+    except Exception:
+        # a RAISED call may be transient (axon tunnel blips) — keep the
+        # throttle timestamp so we retry at most once per interval, and
+        # serve the stale cached value meanwhile instead of going dark
+        # for the rest of a multi-hour run
+        _HBM_STATS["t"] = now
+        return _HBM_STATS["value"]
 
 
 def make_tb_writer(log_dir: str, rank: int = 0):

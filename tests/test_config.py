@@ -36,6 +36,18 @@ def test_parse_override_forms():
     assert o.value["_target_"] == "x.Y"
 
 
+def test_parse_value_sci_notation_coercion_scoped():
+    # dot-less scientific notation coerces (hydra grammar; pyyaml 1.1
+    # leaves it a string) ...
+    assert parse_override("opt.lr=1e-5").value == 1e-5
+    # ... but explicit quoting opts out, like hydra's quoted scalars ...
+    assert parse_override("tag='1e5'").value == "1e5"
+    assert parse_override('tag="1e5"').value == "1e5"
+    # ... and mapping KEYS are never coerced
+    o = parse_override("+m.table={1e5: a, x: 1e-3}")
+    assert o.value == {"1e5": "a", "x": 1e-3}
+
+
 def test_sweep_expansion_cartesian():
     ovs = [parse_override("a=1,2"), parse_override("+b=x"), parse_override("c=5,6")]
     variants = expand_sweeps(ovs)

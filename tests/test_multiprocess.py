@@ -67,3 +67,39 @@ def test_two_process_distributed_matches_single_process():
     # unshard_results returned exactly this host's rows of the global preds
     np.testing.assert_allclose(outs[0]["pred_sum"], pred[:8].sum(), rtol=1e-4)
     np.testing.assert_allclose(outs[1]["pred_sum"], pred[8:].sum(), rtol=1e-4)
+
+
+def test_wallclock_save_trigger_is_collective(tmp_path):
+    """save_checkpoint is a cross-host collective; the save_freq_min
+    wall-clock trigger must therefore be AGREED, not host-local. Rank 1
+    locally overdue (clock skew) must NOT enter the save collective alone
+    (the old host-local trigger deadlocked there); rank 0 overdue must
+    make BOTH ranks save. See tests/_mp_save_worker.py."""
+    worker = os.path.join(_HERE, "_mp_save_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    for scenario, expect_save in (
+        ("skew_rank1_due", False), ("rank0_due", True)
+    ):
+        ckpt = str(tmp_path / scenario)
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(p), "2", str(port), ckpt,
+                 scenario],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env, cwd=os.path.dirname(_HERE),
+            )
+            for p in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, (
+                f"{scenario} worker rc={p.returncode}\n{out}\n{err[-3000:]}"
+            )
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        saved = outs[0]["saved"]
+        assert (len(saved) > 0) == expect_save, f"{scenario}: {saved}"
+        # both ranks ran all 20 steps regardless
+        assert all(abs(o["w0"] - 1.2) < 1e-5 for o in outs)

@@ -444,3 +444,58 @@ def test_init_from_model_rulstm_05_specs(tmp_path):
     # forward runs with the imported weights
     outputs, _ = model.apply(new, video)
     assert outputs["logits/action"].shape == (2, n_cls)
+
+
+def test_init_from_model_orbax_dir_diagnostics(tmp_path):
+    """The orbax-dir branch raises a clear ValueError on a non-TrainState
+    layout (not an opaque KeyError) and a KeyError when the checkpoint
+    carries collections the target model lacks (no silent drop — same
+    contract as the torch path)."""
+    import orbax.checkpoint as ocp
+
+    from avt_tpu.models.import_torch import init_from_model
+
+    params = {"params": {"fc": {"kernel": np.ones((2, 2), np.float32)}}}
+
+    # a perfectly restorable dir that is NOT our layout
+    bare = tmp_path / "bare"
+    ocp.PyTreeCheckpointer().save(
+        str(bare), {"params": {"fc": {"kernel": np.zeros((2, 2), np.float32)}}}
+    )
+    with pytest.raises(ValueError, match="does not look like a saved"):
+        init_from_model(params, [[str(bare)]])
+
+    # extra collection (batch_stats) absent from the BN-free target model
+    extra = tmp_path / "extra"
+    ocp.PyTreeCheckpointer().save(
+        str(extra),
+        {
+            "state": {
+                "params": {
+                    "params": {"fc": {"kernel": np.zeros((2, 2), np.float32)}},
+                    "batch_stats": {"bn": {"mean": np.zeros(2, np.float32)}},
+                }
+            },
+            "epoch": np.asarray(1.0),
+        },
+    )
+    with pytest.raises(KeyError, match="batch_stats"):
+        init_from_model(params, [[str(extra)]])
+
+    # the happy path still merges
+    good = tmp_path / "good"
+    ocp.PyTreeCheckpointer().save(
+        str(good),
+        {
+            "state": {
+                "params": {
+                    "params": {"fc": {"kernel": np.full((2, 2), 5.0, np.float32)}}
+                }
+            },
+            "epoch": np.asarray(1.0),
+        },
+    )
+    out = init_from_model(params, [[str(good)]])
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["fc"]["kernel"]), 5.0
+    )

@@ -335,3 +335,64 @@ def test_store_video_logs_tb_grid():
     loop_mod._store_video_logs(batch, 0, 1000, ml)
     assert len(w.calls) == 1  # unchanged
     loop_mod._VIDEO_LOG_DISABLED = False
+
+
+def test_eval_pad_rows_wraps_when_batch_smaller_than_pad():
+    # a ragged final eval batch can be SMALLER than the pad needed
+    # (bsz=1, pad_multiple=4): padding must wrap, not slice
+    from avt_tpu.evaluate.evaluator import _pad_rows
+
+    batch = {
+        "video": np.arange(1 * 2 * 3, dtype=np.float32).reshape(1, 2, 3),
+        "uid": ["a"],
+        "nested": {"x": np.ones((1, 5))},
+    }
+    out = _pad_rows(batch, 3)
+    assert out["video"].shape[0] == 4
+    assert out["nested"]["x"].shape[0] == 4
+    assert out["uid"] == ["a", "a", "a", "a"]
+    # all padded rows replicate the single source row
+    assert np.array_equal(out["video"][1], batch["video"][0])
+    assert np.array_equal(out["video"][3], batch["video"][0])
+    # and the usual case (pad < bsz) still repeats the leading rows
+    big = {"v": np.arange(6).reshape(3, 2)}
+    out2 = _pad_rows(big, 1)
+    assert out2["v"].shape[0] == 4
+    assert np.array_equal(out2["v"][3], big["v"][0])
+
+
+def test_device_hbm_probe_transient_vs_capability(monkeypatch):
+    # a RAISING memory_stats (tunnel blip) must not permanently disable
+    # the probe; a stats dict without bytes_in_use (capability gap) must
+    from avt_tpu.train import meters as meters_mod
+
+    class FakeDev:
+        def __init__(self, behavior):
+            self.behavior = behavior
+
+        def memory_stats(self):
+            if self.behavior == "raise":
+                raise RuntimeError("UNAVAILABLE: tunnel blip")
+            if self.behavior == "nocap":
+                return {"something_else": 1}
+            return {"bytes_in_use": 2 * 1024 * 1024}
+
+    state = {"dev": FakeDev("ok")}
+    # device_hbm_mb imports jax inside the function — patch the real module
+    monkeypatch.setattr(jax, "local_devices", lambda: [state["dev"]])
+    meters_mod._HBM_STATS.update({"broken": False, "t": 0.0, "value": None})
+    assert meters_mod.device_hbm_mb() == 2.0
+    # transient failure: serves the stale value, not None, and not sticky
+    state["dev"] = FakeDev("raise")
+    meters_mod._HBM_STATS["t"] = 0.0  # bypass throttle
+    assert meters_mod.device_hbm_mb() == 2.0
+    assert not meters_mod._HBM_STATS["broken"]
+    state["dev"] = FakeDev("ok")
+    meters_mod._HBM_STATS["t"] = 0.0
+    assert meters_mod.device_hbm_mb() == 2.0
+    # capability gap: sticky None
+    state["dev"] = FakeDev("nocap")
+    meters_mod._HBM_STATS["t"] = 0.0
+    assert meters_mod.device_hbm_mb() is None
+    assert meters_mod._HBM_STATS["broken"]
+    meters_mod._HBM_STATS.update({"broken": False, "t": 0.0, "value": None})

@@ -116,7 +116,7 @@ def raw_overrides(tmp: Path, epochs: int):
         "train.batch_size=4",
         "eval.batch_size=4",
         f"train.num_epochs={epochs}",
-        f"train.eval_freq={epochs}",
+        "train.eval_freq=0",  # skip in-loop evals; train_net.main runs the final one
         "train.train_one_epoch_fn.loss_wts.feat=1.0",
         "train.train_one_epoch_fn.save_freq_min=null",
         "model/backbone=avt_b",
@@ -209,7 +209,7 @@ def main():
         "train.batch_size=16",
         "eval.batch_size=16",
         f"train.num_epochs={args.epochs}",
-        f"train.eval_freq={args.epochs}",
+        "train.eval_freq=0",  # skip in-loop evals; train_net.main runs the final one
         "train.train_one_epoch_fn.loss_wts.feat=1.0",
         "train.train_one_epoch_fn.loss_wts.past_cls_action=1.0",
         "train.train_one_epoch_fn.save_freq_min=null",
