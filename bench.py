@@ -31,7 +31,10 @@ MODE = os.environ.get("AVT_BENCH_MODE", "train")
 # Train: B=16 beat 24/32 (ledger, CLAUDE.md). Eval: B=32 measured best
 # (63.96 vs 62.63 clips/s at 16; 64 OOMs the 16GB chip) — .bench sweep r3.
 B = int(os.environ.get("AVT_BENCH_B", "16" if MODE == "train" else "32"))
-K = int(os.environ.get("AVT_BENCH_K", "16" if MODE == "train" else "8"))
+# scanned steps per dispatch: K=32 measured a consistent ~+0.25% over
+# K=16 (120.98/121.11/121.19 vs 120.65-120.98 across r3/r4 runs) — less
+# per-dispatch overhead; costs a longer scan trace on cold compiles.
+K = int(os.environ.get("AVT_BENCH_K", "32" if MODE == "train" else "8"))
 T, H, W = 10, 256, 342
 N_CLS = 3806
 
