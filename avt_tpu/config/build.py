@@ -191,6 +191,10 @@ def _build_dense_sampler(dense_cfg: Dict, root) -> Any:
 
     dense_cfg.pop("_target_", None)
     featext_skip_done = dense_cfg.pop("featext_skip_done", False)
+    # where the per-rank H5s of a previous extraction live (reference reads
+    # its cwd-relative RESULTS_SAVE_DIR, base_video_dataset.py:228-232; our
+    # run dir is explicit so tools can point resume at it)
+    results_dir = dense_cfg.pop("featext_results_dir", "./results")
     shard_per_worker = dense_cfg.pop("shard_per_worker", False)
     rank, world = 0, 1
     if shard_per_worker:
@@ -201,7 +205,9 @@ def _build_dense_sampler(dense_cfg: Dict, root) -> Any:
     if featext_skip_done:
         from avt_tpu.evaluate.results import read_saved_results_uids
 
-        skip_uids = read_saved_results_uids(f"./results/{rank}.h5")
+        skip_uids = read_saved_results_uids(
+            os.path.join(results_dir, f"{rank}.h5")
+        )
         LOG.info("featext resume: %d uids already done", len(skip_uids))
     roots = [root] if isinstance(root, (str,)) else list(root or [""])
 

@@ -63,6 +63,26 @@ def _split_top_level_commas(s: str) -> List[str]:
 _INTERP_TOKEN_RE = re.compile(r"\$\{[^{}]*\}")
 
 
+class _QuotedStr(str):
+    """A scalar that was explicitly quoted in the source — opts out of the
+    sci-notation coercion even when nested inside a flow collection
+    (hydra keeps quoted scalars as strings at any depth)."""
+
+
+class _StyleLoader(yaml.SafeLoader):
+    """SafeLoader that remembers which str scalars were quoted."""
+
+
+def _construct_str_with_style(loader, node):
+    val = loader.construct_scalar(node)
+    return _QuotedStr(val) if node.style in ("'", '"') else val
+
+
+_StyleLoader.add_constructor(
+    "tag:yaml.org,2002:str", _construct_str_with_style
+)
+
+
 def parse_value(raw: str) -> Any:
     """YAML-parse a value; ${...} interpolations survive as strings.
 
@@ -78,28 +98,26 @@ def parse_value(raw: str) -> Any:
 
     prepared = _INTERP_TOKEN_RE.sub(stash, raw)
     try:
-        parsed = yaml.safe_load(prepared)
+        parsed = yaml.load(prepared, Loader=_StyleLoader)
     except yaml.YAMLError:
         return raw
 
-    # An explicitly quoted scalar opts out of numeric coercion (hydra keeps
-    # quoted values as strings); mapping KEYS are never coerced either.
-    quoted = len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "\"'"
-
     def restore(v, coerce=True):
         if isinstance(v, str):
+            was_quoted = isinstance(v, _QuotedStr)
             v = re.sub(
                 r"__INTERP_(\d+)__", lambda m: tokens[int(m.group(1))], v
             )
             # YAML 1.1 wants "1.0e-5"; hydra's grammar accepts "1e-5".
-            # Coerce dot-less scientific notation that pyyaml left a string.
+            # Coerce dot-less scientific notation that pyyaml left a string
+            # — unless it was explicitly quoted (at any nesting depth).
             if (
                 coerce
-                and not quoted
+                and not was_quoted
                 and re.fullmatch(r"[+-]?\d+[eE][+-]?\d+", v)
             ):
                 return float(v)
-            return v
+            return str(v)  # plain str: the style marker must not leak out
         if isinstance(v, dict):
             return {
                 restore(k, coerce=False): restore(val)

@@ -143,6 +143,11 @@ class VideoDataset:
         self.frame_rate = frame_rate
         self.reader = reader
         self.transform = transform
+        # (frame_shape, dtype) learned from the first successful read on
+        # the static-shape path; lets corrupt clips become black/zero
+        # frames (reference :598-605) instead of dropped items. Benign
+        # race under loader threads (worst case: a few early Nones).
+        self._frame_shape_dtype = None
         self.label_type = [label_type] if isinstance(label_type, str) else list(label_type)
         self.verb_classes = dict(verb_classes or {})
         self.noun_classes = dict(noun_classes or {})
@@ -296,16 +301,26 @@ class VideoDataset:
         video, info = self.reader(video_path, new_start, new_end, eff_fps, row)
         n_read = video.shape[0] if video.ndim == 4 else 0
         if video.ndim != 4 or video.size == 0:
-            if self.transform is None:
-                # raw-video/feature paths keep static batch shapes; a
-                # (T,100,100,3) stand-in would break collate, so the item
-                # is dropped and the loader backfills
-                return None, None, info
-            # Corrupt/empty: black frames, seconds = -1 (reference
-            # :598-605; its transform stack resizes them to crop size)
-            video = np.zeros((self.frames_per_clip, 100, 100, 3), dtype=np.uint8)
-            secs = -np.ones((self.frames_per_clip,), dtype=np.float64)
-            return video, secs, info
+            # Corrupt/empty clip (reference :598-605 makes black frames).
+            if self.transform is not None:
+                # host-transform path: its resize absorbs any stand-in size
+                video = np.zeros(
+                    (self.frames_per_clip, 100, 100, 3), dtype=np.uint8)
+                secs = -np.ones((self.frames_per_clip,), dtype=np.float64)
+                return video, secs, info
+            if self._frame_shape_dtype is not None:
+                # static-shape (device-preproc / feature) path: black/zero
+                # frames at the dataset's known frame geometry keep the
+                # item (and its labels) in the batch, like the reference
+                shape, dtype = self._frame_shape_dtype
+                video = np.zeros(
+                    (self.frames_per_clip,) + shape, dtype=dtype)
+                secs = -np.ones((self.frames_per_clip,), dtype=np.float64)
+                return video, secs, info
+            # no geometry known yet: drop the item, the loader backfills
+            return None, None, info
+        if self.transform is None and self._frame_shape_dtype is None:
+            self._frame_shape_dtype = (video.shape[1:], video.dtype)
         idx, secs = sample_clip_frames(
             n_read, new_start, new_end, eff_fps, self.frame_rate,
             self.frames_per_clip, strategy,

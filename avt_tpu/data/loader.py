@@ -58,7 +58,18 @@ class DataLoader:
         world_size: int = 1,
         keys: Optional[list] = None,
         sampler=None,
+        backfill: str = "random",
     ):
+        """backfill: what replaces a failed read (shapes must stay static):
+        'random' substitutes a random OTHER sample (train: matches the
+        reference's keep-training-on-something behavior); 'repeat'
+        duplicates a good row from the same batch (eval: duplicate idx
+        rows are averaged out by read_results' mean-per-idx merge, so
+        final metrics never include substituted samples — reference
+        func/train.py:500-508 shrinks the batch instead). Either way
+        `backfill_count` tallies failures per epoch."""
+        if backfill not in ("random", "repeat"):
+            raise ValueError(f"Unknown backfill policy {backfill!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -68,6 +79,8 @@ class DataLoader:
         self.rank = rank
         self.world_size = world_size
         self.epoch = 0
+        self.backfill = backfill
+        self.backfill_count = 0
         self.keys = keys  # restrict returned keys (drop strings for jit)
         # explicit index sampler (e.g. clip_samplers.*) — overrides the
         # built-in shuffle/shard, like passing sampler= to torch DataLoader
@@ -126,6 +139,7 @@ class DataLoader:
         n = len(indices)
         nb = n // bs if self.drop_last else int(np.ceil(n / bs))
         backfill_rng = np.random.default_rng(self.seed + 7919 + self.epoch)
+        self.backfill_count = 0
         with ThreadPoolExecutor(self.num_workers) as pool:
             # pipeline: submit batch i+1 while collating batch i
             def submit(bi):
@@ -138,10 +152,29 @@ class DataLoader:
                 pending = submit(bi + 1) if bi + 1 < nb else []
                 items = [f.result() for f in futures]
                 good = [it for it in items if it is not None]
-                # backfill failed reads to keep shapes static
-                while len(good) < len(items):
-                    j = int(backfill_rng.integers(len(indices)))
-                    it = self._fetch(indices[j])
-                    if it is not None:
-                        good.append(it)
+                n_failed = len(items) - len(good)
+                if n_failed:
+                    # a decaying dataset must be visible, whatever the policy
+                    self.backfill_count += n_failed
+                    LOG.warning(
+                        "%d/%d reads failed in batch %d (policy=%s; "
+                        "%d so far this epoch)", n_failed, len(items), bi,
+                        self.backfill, self.backfill_count,
+                    )
+                if not good:
+                    LOG.error("every read in batch %d failed; dropping it", bi)
+                    continue
+                if self.backfill == "repeat":
+                    # duplicate in-batch rows: same idx -> merged away by
+                    # read_results; no foreign sample enters the batch
+                    i = 0
+                    while len(good) < len(items):
+                        good.append(good[i % len(good)])
+                        i += 1
+                else:  # random substitute to keep training on full batches
+                    while len(good) < len(items):
+                        j = int(backfill_rng.integers(len(indices)))
+                        it = self._fetch(indices[j])
+                        if it is not None:
+                            good.append(it)
                 yield collate(good)

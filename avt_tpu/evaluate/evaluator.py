@@ -127,6 +127,14 @@ def evaluate(
                     metric_logger.update(n=batch_size, **{k: float(v)})
                 elif k.startswith("loss/"):
                     metric_logger.update(n=batch_size, **{k: float(np.mean(v))})
+        n_backfilled = getattr(loader, "backfill_count", 0)
+        if n_backfilled and logger is not None:
+            # duplicate-idx rows are deduped in the final H5-recomputed
+            # metrics, but the online meters saw them — make that visible
+            logger.warning(
+                "[eval%s] %d failed reads were backfilled this epoch",
+                data_key, n_backfilled,
+            )
         if only_run_featext:
             continue
         metric_logger.synchronize_between_processes()

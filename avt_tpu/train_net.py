@@ -158,6 +158,10 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
             num_workers=cfg["data_eval"].get("workers", 8),
             rank=jax.process_index(), world_size=world_size, keys=keys,
             sampler=eval_samplers[suffix],
+            # eval fidelity: failed reads repeat an in-batch row (same idx,
+            # averaged away on merge) instead of substituting a random
+            # other sample into the metrics
+            backfill="repeat",
         )
         for suffix, ds in eval_datasets.items()
     }

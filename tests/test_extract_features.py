@@ -1,0 +1,315 @@
+"""Feature-extraction round trip: TPU featext -> RULSTM-layout store ->
+feature-path training.
+
+Closes the reference ecosystem's core workflow (VERDICT r4 item 1):
+dense-sample clips (reference datasets/base_video_dataset.py:200-267),
+dump backbone features via eval featext (func/train.py:319-429), pack them
+into the stores the feature readers consume (datasets/epic_kitchens.py:
+394-526 layout), then train AVT-h from the self-extracted store.
+"""
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import extract_features as xf  # noqa: E402
+
+from avt_tpu.data import readers as readers_mod  # noqa: E402
+from avt_tpu.evaluate.results import store_append_h5  # noqa: E402
+
+CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
+FPS = 10.0
+N_CLS = 6
+C = 24
+
+
+def _fake_lmdb():
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import _fake_lmdb as fake
+
+    return fake
+
+
+# --------------------------------------------------------------- fast path
+def test_frame_id_keying():
+    # floor(t * 30), min 1 — matches the readers' floor(ts*fps)
+    assert xf.frame_id_for_time(1.0) == 30
+    assert xf.frame_id_for_time(0.999) == 29
+    assert xf.frame_id_for_time(0.0) == 1
+    # an exact-time readback window hits the exact key (reader math)
+    r = readers_mod.FeatsReaderBase(read_type="normal")
+    fid = xf.frame_id_for_time(2.5)
+    frames = r.frame_ids_for_window((fid - 1) / 30.0, fid / 30.0, 30.0)
+    assert frames.tolist() == [fid]
+
+
+def test_pack_and_readback_bitexact(tmp_path, monkeypatch):
+    """pack() output read back through BOTH readers equals the H5 rows."""
+    monkeypatch.setattr(readers_mod, "lmdb", _fake_lmdb(), raising=False)
+    monkeypatch.setattr(readers_mod, "HAVE_LMDB", True)
+
+    rng = np.random.default_rng(0)
+    results_dir = tmp_path / "results"
+    index = {}
+    # two videos, features every 0.25 s (the 10fps-store-like layout)
+    rows = []
+    for v in range(2):
+        stem = f"P0{v}_01"
+        for i, t in enumerate(np.arange(0.25, 20.0, 0.25)):
+            uid = f"{stem}_{t}"
+            index[uid] = (stem, float(t))
+            rows.append((uid, rng.normal(size=C).astype(np.float32)))
+    # shard across two "ranks" like a 2-process extraction
+    for rank in (0, 1):
+        chunk = rows[rank::2]
+        store_append_h5(
+            {
+                "temp_agg": np.stack([f for _, f in chunk]),
+                "uid": np.asarray([u for u, _ in chunk]),
+                "idx": np.arange(len(chunk)),
+                "epoch": np.asarray([0.0]),
+            },
+            str(results_dir), rank=rank,
+        )
+    out = tmp_path / "store"
+    stats = xf.pack(str(results_dir), index, str(out),
+                    endpoint="temp_agg", formats=("npy", "lmdb"))
+    assert stats["rows"] == len(rows) and stats["videos"] == 2
+    assert (out / "npy" / "P00_01.npy").exists()
+    n = xf.verify_roundtrip(
+        str(results_dir), index, str(out), endpoint="temp_agg", n_check=16,
+    )
+    assert n == 16 * 2  # both readers checked
+
+    # the packed npy store drives the full reader feature path: an
+    # exact_rulstm read (11 frames @0.25s back from end) returns the
+    # stored features bit-exactly, with no zero-fills
+    r = readers_mod.NpyFeatsReader(str(out / "npy"), read_type="exact_rulstm")
+    feats, _ = r("P00_01.mp4", 0.0, 10.0, 30.0, None)
+    assert feats.shape == (11, 1, 1, C)
+    want = {u: f for u, f in rows}
+    got_last = feats[-1, 0, 0]
+    assert any(np.array_equal(got_last, f) for f in want.values())
+    assert not np.all(feats == 0, axis=-1).any()
+
+
+def test_pack_rejects_unaggregated_endpoint(tmp_path):
+    store_append_h5(
+        {
+            "backbone": np.zeros((2, 4, C), np.float32),  # (B, T, C)
+            "uid": np.asarray(["P00_01_1.0", "P00_01_2.0"]),
+            "idx": np.arange(2),
+        },
+        str(tmp_path / "results"),
+    )
+    index = {"P00_01_1.0": ("P00_01", 1.0), "P00_01_2.0": ("P00_01", 2.0)}
+    with pytest.raises(ValueError, match="aggregated endpoint"):
+        xf.pack(str(tmp_path / "results"), index, str(tmp_path / "s"),
+                endpoint="backbone", formats=("npy",))
+
+
+# ---------------------------------------------------------- full round trip
+@pytest.fixture(scope="module")
+def video_tree(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    tmp = tmp_path_factory.mktemp("featext_vids")
+    annot = tmp / "annot"
+    annot.mkdir()
+    (annot / "EPIC_100_verb_classes.csv").write_text(
+        "id,key\n" + "\n".join(f"{i},v{i}" for i in range(3)))
+    (annot / "EPIC_100_noun_classes.csv").write_text(
+        "id,key\n" + "\n".join(f"{i},n{i}" for i in range(2)))
+    (annot / "actions.csv").write_text(
+        "id,verb,noun,action\n"
+        + "\n".join(f"{i},{i % 3},{i % 2},a{i}" for i in range(N_CLS)))
+    vids = tmp / "vids"
+    rows_tr, rows_ev = [], []
+    uid = 0
+    n_vids = 4  # P03 is the eval split
+    for v in range(n_vids):
+        part = f"P0{v}"
+        (vids / part).mkdir(parents=True)
+        path = str(vids / part / f"{part}_01.MP4")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (64, 48))
+        n_frames = 400  # 40 s
+        # 6 actions per video; classes cycled so train covers all 6
+        actions = [
+            (8.0 + 5.0 * k, (v + k) % N_CLS) for k in range(6)
+        ]
+        # 6 pairwise-distinct whole-frame tints (spatial patterns would
+        # collapse under the ViT's mean pooling over patches)
+        palette = [
+            (255, 0, 0), (0, 255, 0), (0, 0, 255),
+            (255, 255, 0), (255, 0, 255), (0, 255, 255),
+        ]
+        for i in range(n_frames):
+            sec = i / FPS
+            frame = np.full((48, 64, 3), 100, np.uint8)
+            for (at, cls) in actions:
+                # tint the 4 s before each action (the observed window)
+                if at - 4 <= sec < at:
+                    frame[:] = palette[cls]
+            writer.write(frame)
+        writer.release()
+        for (at, cls) in actions:
+            rows = rows_ev if v == n_vids - 1 else rows_tr
+            rows.append(
+                f"{uid},{part}_01,{int(at*30)},{int((at+2)*30)},"
+                f"{cls % 3},{cls % 2},{cls}")
+            uid += 1
+    (annot / "training.csv").write_text("\n".join(rows_tr))
+    (annot / "validation.csv").write_text("\n".join(rows_ev))
+    return tmp
+
+
+def _base_overrides(tmp):
+    return [
+        f"dataset.epic_kitchens100.common.annot_dir={tmp}/annot/",
+        f"dataset.epic_kitchens100.common.rulstm_annot_dir={tmp}/annot/",
+    ]
+
+
+@pytest.mark.slow
+def test_extract_pack_train_roundtrip(video_tree, tmp_path, monkeypatch):
+    """The whole workflow: raw video -> tiny-ViT featext (dense clips) ->
+    RULSTM-layout stores -> AVT-h trains from the self-extracted features
+    and learns the classes."""
+    from avt_tpu.data.video_decoder import have_native_decoder
+
+    if not have_native_decoder():
+        pytest.skip("native decoder not available")
+    monkeypatch.setattr(readers_mod, "lmdb", _fake_lmdb(), raising=False)
+    monkeypatch.setattr(readers_mod, "HAVE_LMDB", True)
+    tmp = video_tree
+    run_dir = tmp_path / "featext_run"
+    out = tmp_path / "store"
+
+    extract_overrides = _base_overrides(tmp) + [
+        "train.batch_size=1",  # x8 cpu devices = 8 global = the 8 train rows
+        "eval.batch_size=16",
+        "model/backbone=avt_b",
+        "model.backbone_last_n_modules_to_drop=0",
+        "+model.backbone.img_size=32",
+        "+model.backbone.patch_size=16",
+        "+model.backbone.embed_dim=32",
+        "+model.backbone.depth=2",
+        "+model.backbone.num_heads=2",
+        "model.backbone_dim=32",
+        "model/temporal_aggregator=mean",
+        "model/future_predictor=identity",
+        "data_train.num_frames=4",
+        "data_train.frame_rate=2",
+        "data_eval.num_frames=4",
+        "data_eval.frame_rate=2",
+        "data_train.scale_h=36",
+        "data_train.scale_w=-1",
+        "data_train.crop_size=32",
+        "data_eval.scale_h=36",
+        "data_eval.scale_w=-1",
+        "data_eval.crop_size=32",
+        "data_train.workers=4",
+        "data_eval.workers=4",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        "dataset_train.conv_to_anticipate_fn.tau_a=1",
+        "dataset_train.conv_to_anticipate_fn.tau_o=2",
+        f"dataset_train.annotation_path=[{tmp}/annot/training.csv]",
+        # extraction must cover EVERY video downstream configs read —
+        # train and validation splits alike
+        f"dataset_eval.annotation_path=[{tmp}/annot/training.csv, "
+        f"{tmp}/annot/validation.csv]",
+        f"dataset_train.root=[{tmp}/vids]",
+        f"dataset_eval.root=[{tmp}/vids]",
+    ]
+    stats = xf.main(
+        [
+            "--out", str(out), "--run-dir", str(run_dir),
+            "--endpoint", "temp_agg",
+            "--clip-len", "2.0", "--stride", "0.25",
+        ]
+        + extract_overrides
+    )
+    # every video extracted; verify_roundtrip inside main() already pinned
+    # store == H5 (and the H5 rows ARE the model's forward outputs)
+    assert stats["videos"] == 4 and stats["rows"] > 500
+    assert (out / "npy" / "P03_01.npy").exists()
+    arr = np.load(out / "npy" / "P00_01.npy")
+    assert arr.shape[1] == 32
+    # stride 0.25 s @30fps keys: gaps <= 8 frames, inside search radius 10
+    present = np.flatnonzero(~np.isnan(arr).all(axis=1))
+    assert len(present) > 100 and np.diff(present).max() <= 10
+
+    # ---- train AVT-h from the self-extracted store (expts/02 topology)
+    from avt_tpu.config import Composer, parse_override
+    from avt_tpu.train_net import main as train_main
+
+    train_overrides = _base_overrides(tmp) + [
+        "train.batch_size=1",  # x8 cpu devices = 8 global
+        # 8 train clips = 1 step/epoch; repeat_data_times stretches each
+        # epoch (reference base_video_dataset.py:840-851) so the smoke
+        # gets enough optimizer steps to converge
+        "+dataset_train.repeat_data_times=5",
+        "train.num_epochs=40",
+        "train.eval_freq=40",
+        "train.train_one_epoch_fn.loss_wts.feat=1.0",
+        "train.train_one_epoch_fn.save_freq_min=null",
+        "model/backbone=identity",
+        "model.backbone_dim=32",
+        "model/temporal_aggregator=identity",
+        "model/future_predictor=avth",
+        "+model.future_predictor.n_head=2",
+        "+model.future_predictor.n_layer=2",
+        "+model.future_predictor.inter_dim=32",
+        "+model.future_predictor.output_len=1",
+        "+model.future_predictor.avg_last_n=1",
+        "+model.future_predictor.return_past_too=true",
+        "+model.future_predictor.future_pred_loss="
+        "{_target_: torch.nn.MSELoss}",
+        "opt/scheduler=cosine",
+        # fresh GPT-2 over frozen random-ViT features is badly conditioned
+        # for SGD at smoke scale; Adam converges in a few hundred steps
+        "opt/optimizer=adam",
+        "opt.lr_wd=[[__all__,0.002,0.000001]]",
+        "opt.grad_clip.max_norm=1.0",
+        "opt.warmup.num_epochs=1",
+        "data_train.num_frames=8",
+        "data_train.frame_rate=4",
+        "data_eval.num_frames=8",
+        "data_eval.frame_rate=4",
+        "data_train.workers=4",
+        "data_eval.workers=4",
+        "dataset_train.sample_strategy=last_clip",
+        "dataset_eval.sample_strategy=last_clip",
+        "dataset_train.conv_to_anticipate_fn.tau_a=1",
+        "dataset_train.conv_to_anticipate_fn.tau_o=2",
+        "dataset_eval.conv_to_anticipate_fn.tau_a=1",
+        "dataset_eval.conv_to_anticipate_fn.tau_o=2",
+        f"dataset_train.annotation_path=[{tmp}/annot/training.csv]",
+        f"dataset_eval.annotation_path=[{tmp}/annot/validation.csv]",
+        f"dataset_train.root=[{tmp}/vids]",
+        f"dataset_eval.root=[{tmp}/vids]",
+        "+dataset_train.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {out}/npy, read_type: normal}}",
+        "+dataset_eval.reader_fn={_target_: avt_tpu.data.NpyFeatsReader, "
+        f"root: {out}/npy, read_type: normal}}",
+    ]
+    cfg = Composer(str(CONF_DIR)).compose(
+        "config", [parse_override(o) for o in train_overrides])
+    work_dir = tmp_path / "train_run"
+    work_dir.mkdir()
+    metric = train_main(cfg, str(work_dir))
+    # primary metric for EK100 is AR5; the smoke bar the other e2es use
+    assert metric >= 99.0, metric
+    # non-degenerate check: top-1 from the stored logits beats chance
+    import h5py
+
+    with h5py.File(work_dir / "results" / "0.h5", "r") as f:
+        logits = np.asarray(f["logits/action"])
+        target = np.asarray(f["target/action"])
+    acc1 = float((logits.argmax(-1) == target).mean()) * 100
+    assert acc1 > 30.0, acc1

@@ -156,3 +156,67 @@ def test_concat_dataset_unknown_attribute_raises(tmp_path):
         cat.primry_metric  # noqa: B018 - typo on purpose
     with _pytest.raises(AttributeError):
         cat.df  # noqa: B018 - exists on the child but is not metadata
+
+
+def test_launcher_slurm_emitter(tmp_path, monkeypatch, capsys):
+    """--slurm writes an sbatch array script: one task per sweep variant,
+    hydra.launcher.* keys honored, requeue-on-143 (the submitit
+    max_num_timeout analog, reference launch.py:282)."""
+    import subprocess
+
+    monkeypatch.chdir(tmp_path)
+    expt = tmp_path / "slurm_expt.txt"
+    expt.write_text(
+        "train.batch_size=4\nfold=1,2,3\n"
+        "hydra.launcher.nodes=2\nhydra.launcher.timeout_min=120\n"
+        "hydra.launcher.partition=tpu\nhydra.launcher.max_num_timeout=5\n"
+    )
+    path = launch_main(["-c", str(expt), "--slurm"])
+    assert os.path.exists(path)
+    script = open(path).read()
+    assert "#SBATCH --array=0-2" in script  # 3 sweep variants
+    assert "#SBATCH --nodes=2" in script
+    assert "#SBATCH --time=120" in script
+    assert "#SBATCH --partition=tpu" in script
+    assert "#SBATCH --requeue" in script
+    assert "--signal=B:USR1@120" in script  # graceful-preempt pre-notice
+    assert 'JAX_PROCESS_ID=$SLURM_PROCID' in script
+    assert "-lt 5" in script and "scontrol requeue" in script
+    assert "--run-id $SLURM_ARRAY_TASK_ID" in script
+    # the emitted script is valid bash
+    subprocess.run(["bash", "-n", path], check=True)
+    # pinning -r collapses the array to that variant
+    path1 = launch_main(["-c", str(expt), "--slurm", "-r", "1"])
+    assert "#SBATCH --array=1-1" in open(path1).read()
+
+
+def test_choose_run_interactive():
+    """Interactive local pick (reference launch.py:134-166): shows only the
+    sweep-differing params, accepts an index or 'all'."""
+    from avt_tpu.config.overrides import expand_sweeps, parse_override
+    from avt_tpu.launch import _sweep_diff_labels, choose_run_interactive
+    from avt_tpu.utils import get_logger
+
+    variants = expand_sweeps(
+        [parse_override("train.batch_size=4"), parse_override("fold=1,2,3")]
+    )
+    labels = _sweep_diff_labels(variants)
+    assert labels == ["fold=1", "fold=2", "fold=3"]
+    logger = get_logger("test")
+    answers = iter(["bogus", "7", "2"])
+    assert choose_run_interactive(
+        variants, logger, input_fn=lambda _: next(answers)) == 2
+    assert choose_run_interactive(
+        variants, logger, input_fn=lambda _: "all") == -1
+
+
+def test_coordinator_bind_failed(tmp_path):
+    from avt_tpu.launch import _coordinator_bind_failed
+
+    good = tmp_path / "rank0.log"
+    good.write_text("all fine, training\n")
+    assert not _coordinator_bind_failed([str(good)])
+    bad = tmp_path / "rank1.log"
+    bad.write_text("RuntimeError: Failed to bind: Address already in use\n")
+    assert _coordinator_bind_failed([str(good), str(bad)])
+    assert not _coordinator_bind_failed([str(tmp_path / "missing.log")])
