@@ -57,6 +57,11 @@ def _load_lib():
             ctypes.c_int,
         ]
         lib.vd_last_error.restype = ctypes.c_char_p
+        lib.vd_remux.restype = ctypes.c_int
+        lib.vd_remux.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -124,6 +129,25 @@ def get_video_info(path) -> Dict[str, float]:
     """fps/len probe (common/utils.py get_video_info parity)."""
     h = _Handle(path)
     return {"fps": h.fps, "len": h.duration}
+
+
+def remux(
+    in_path, out_path, *,
+    pts_scale: float = 1.0, pts_quad: float = 0.0, rotation_deg: int = 0,
+) -> None:
+    """Stream-copy remux with transformed timestamps / rotation metadata.
+
+    new_pts_sec = sec * pts_scale + pts_quad * sec^2 — emulates VFR
+    sources (pts != frame_idx/fps) and rotated captures without needing
+    an encoder. Also useful for re-timing datasets offline.
+    """
+    lib = _load_lib()
+    rc = lib.vd_remux(
+        str(in_path).encode(), str(out_path).encode(),
+        float(pts_scale), float(pts_quad), int(rotation_deg),
+    )
+    if rc != 0:
+        raise IOError(lib.vd_last_error().decode())
 
 
 class _HandlePool:

@@ -385,6 +385,17 @@ def avt_checkpoint_to_flax(sd: Mapping[str, np.ndarray]) -> Dict:
             else:
                 _set(p, "future_predictor/encoder/kernel", _t(enc))
                 _set(p, "future_predictor/decoder/kernel", _t(dec))
+    # MLP future predictor: Sequential of [Linear, ReLU]*n minus the last
+    # ReLU (reference future_prediction.py:32-40) — Linears sit at even
+    # indices; ours are fc_<i> (models/future.py:MLPFuture)
+    for key, val in sd.items():
+        m = re.match(r"future_predictor\.model\.(\d+)\.(weight|bias)", key)
+        if m:
+            layer_i = int(m.group(1)) // 2
+            if m.group(2) == "weight":
+                _set(p, f"future_predictor/fc_{layer_i}/kernel", _t(val))
+            else:
+                _set(p, f"future_predictor/fc_{layer_i}/bias", val)
     for key, val in sd.items():
         m = re.match(r"classifiers\.([^.]+)\.(weight|bias)", key)
         if m:

@@ -181,4 +181,97 @@ int vd_read_range(VDContext* ctx, double start_sec, double end_sec,
   return count;
 }
 
+// Stream-copy remux with transformed timestamps (+ optional rotation
+// metadata): emulates variable-frame-rate sources where pts !=
+// frame_idx/fps, and rotated phone captures, without an encoder in the
+// environment. new_pts_sec = sec * pts_scale + pts_quad * sec^2
+// (monotonic for pts_scale > 0, pts_quad >= 0). Used by the decoder
+// fault-matrix tests; also a building block for dataset re-timing tools.
+int vd_remux(const char* in_path, const char* out_path, double pts_scale,
+             double pts_quad, int rotation_deg) {
+  AVFormatContext* in = nullptr;
+  AVFormatContext* out = nullptr;
+  AVPacket* pkt = nullptr;
+  int ret = -1;
+  do {
+    if (avformat_open_input(&in, in_path, nullptr, nullptr) < 0) {
+      set_error(std::string("remux: cannot open ") + in_path);
+      break;
+    }
+    if (avformat_find_stream_info(in, nullptr) < 0) {
+      set_error("remux: no stream info");
+      break;
+    }
+    const int vidx =
+        av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vidx < 0) {
+      set_error("remux: no video stream");
+      break;
+    }
+    if (avformat_alloc_output_context2(&out, nullptr, nullptr, out_path) <
+            0 || !out) {
+      set_error("remux: cannot allocate output");
+      break;
+    }
+    AVStream* os = avformat_new_stream(out, nullptr);
+    if (!os ||
+        avcodec_parameters_copy(os->codecpar, in->streams[vidx]->codecpar) <
+            0) {
+      set_error("remux: cannot copy codec params");
+      break;
+    }
+    os->codecpar->codec_tag = 0;
+    os->time_base = in->streams[vidx]->time_base;
+    if (rotation_deg) {
+      // mov/mp4 rotation convention (the muxer writes a display matrix)
+      av_dict_set_int(&os->metadata, "rotate", rotation_deg, 0);
+    }
+    if (!(out->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&out->pb, out_path, AVIO_FLAG_WRITE) < 0) {
+      set_error("remux: cannot open output file");
+      break;
+    }
+    if (avformat_write_header(out, nullptr) < 0) {
+      set_error("remux: cannot write header");
+      break;
+    }
+    pkt = av_packet_alloc();
+    const AVRational itb = in->streams[vidx]->time_base;
+    const AVRational otb = out->streams[0]->time_base;
+    bool failed = false;
+    while (av_read_frame(in, pkt) >= 0) {
+      if (pkt->stream_index != vidx) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      auto xform = [&](int64_t ts) -> int64_t {
+        if (ts == AV_NOPTS_VALUE) return ts;
+        const double sec = ts * av_q2d(itb);
+        const double ns = sec * pts_scale + pts_quad * sec * sec;
+        return (int64_t)llround(ns / av_q2d(itb));
+      };
+      pkt->pts = xform(pkt->pts);
+      pkt->dts = xform(pkt->dts);
+      pkt->duration = 0;  // let readers derive durations from pts deltas
+      pkt->stream_index = 0;
+      av_packet_rescale_ts(pkt, itb, otb);
+      if (av_interleaved_write_frame(out, pkt) < 0) {
+        set_error("remux: write frame failed");
+        failed = true;
+        break;
+      }
+    }
+    av_write_trailer(out);
+    if (!failed) ret = 0;
+  } while (false);
+  if (pkt) av_packet_free(&pkt);
+  if (out) {
+    if (!(out->oformat->flags & AVFMT_NOFILE) && out->pb)
+      avio_closep(&out->pb);
+    avformat_free_context(out);
+  }
+  if (in) avformat_close_input(&in);
+  return ret;
+}
+
 }  // extern "C"

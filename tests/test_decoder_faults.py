@@ -220,3 +220,52 @@ def test_getitem_zero_fps_black_frames(tmp_path):
         sample_strategy="last_clip", action_classes={"a": 0, "b": 1},
     )
     assert ds2[0] is None
+
+
+def test_vfr_timestamps_respected(tmp_path):
+    """VFR stream (pts != frame_idx/fps, via the native remuxer's
+    quadratic re-timing): the decoder returns PTS-based seconds, and a
+    ranged read selects frames by TIME, not by frame index."""
+    from avt_tpu.data.video_decoder import remux
+
+    src = _write_video(tmp_path / "cfr", n_frames=60)
+    vfr = str(tmp_path / "vfr.mp4")
+    # sec' = sec + 0.05*sec^2: frame spacing stretches by (1 + 0.1*sec),
+    # from 0.100 s at the start to ~0.159 s at sec=5.9
+    remux(src, vfr, pts_scale=1.0, pts_quad=0.05)
+    reader = LibavVideoReader()
+    handle = reader._pool.acquire(vfr)
+    frames, pts = handle.read_range(0.0, 10.0)
+    assert frames.shape[0] > 10
+    d = np.diff(pts)
+    assert d.min() > 0
+    # non-uniform spacing is the point: the last gap is clearly larger
+    assert d[-1] > 1.4 * d[0]
+    # each frame's pts matches the quadratic re-timing of its source time
+    src_sec = np.arange(frames.shape[0]) / FPS
+    np.testing.assert_allclose(
+        pts, src_sec + 0.05 * src_sec**2, atol=1.5 / FPS)
+    # a ranged read by TIME picks the right content: at t~4.0 s the
+    # original time solves s + 0.05 s^2 = 4 -> s ~= 3.32 -> frame ~33
+    sub, sub_pts = handle.read_range(3.9, 4.1)
+    assert sub.shape[0] >= 1
+    content_idx = int(sub[0, 0, 0, 0])  # red channel = source frame index
+    assert abs(content_idx - 33) <= 2, content_idx
+
+
+def test_rotation_metadata_tolerated(tmp_path):
+    """Rotation metadata must not break decode: the reference's
+    torchvision reader ignores display matrices (frames come out in coded
+    orientation); ours does the same — and never crashes."""
+    from avt_tpu.data.video_decoder import remux
+
+    src = _write_video(tmp_path / "src", n_frames=30)
+    rot = str(tmp_path / "rot.mp4")
+    remux(src, rot, rotation_deg=90)
+    info = get_video_info(rot)
+    assert info["fps"] == pytest.approx(FPS, abs=0.5)
+    reader = LibavVideoReader()
+    frames, _ = reader(rot, 0.0, 2.0, None, None)
+    assert frames.shape[0] >= 10
+    # coded orientation preserved (no implicit rotation)
+    assert frames.shape[1:] == (H, W, 3)

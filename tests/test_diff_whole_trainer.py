@@ -56,7 +56,7 @@ N_EPOCHS = 3
 LR, WD, ETA_MIN = 0.02, 1e-4, 1e-5
 WARMUP_EPOCHS, WARMUP_RATIO = 1, 0.1
 LOSS_WTS = {"cls_action": 1.0, "cls_verb": 0.5, "cls_noun": 0.5,
-            "feat": 1.0, "pred": 1.0,
+            "feat": 1.0, "pred": 1.0, "reg": 1.0,
             "past_cls_action": 0.0, "past_cls_verb": 0.0,
             "past_cls_noun": 0.0}
 AVTH_KW = dict(output_len=1, avg_last_n=1, inter_dim=32, n_layer=2,
@@ -156,21 +156,33 @@ def _to_attr(node):
     return node
 
 
-def _ref_model_cfg():
+def _ref_model_cfg(project_dim_for_nce=None, future="avth",
+                   temporal_agg="Identity"):
+    if future == "avth":
+        future_predictor = {
+            "_target_": "models.future_prediction.AVTh",
+            "future_pred_loss": {"_target_": "loss_fn.mse.NormedMSE"},
+            **AVTH_KW,
+        }
+    else:
+        # the SSL race uses the MLP future predictor: the reference's
+        # AVTh crashes when PredFutureFeat calls model(video) with no
+        # target_shape (future_prediction.py:123 len(None)); AVTh parity
+        # is pinned by the basic variants
+        future_predictor = {
+            "_target_": "models.future_prediction.MLP",
+            "num_layers": 2,
+        }
     return _to_attr({
         "backbone": {"_target_": "torch.nn.Identity"},
         "backbone_last_n_modules_to_drop": 0,
         "backbone_dim": C_FEAT,
         "intermediate_featdim": None,
         "temporal_aggregator": {
-            "_target_": "models.temporal_aggregation.Identity"},
+            "_target_": f"models.temporal_aggregation.{temporal_agg}"},
         "same_temp_agg_dim": False,
-        "future_predictor": {
-            "_target_": "models.future_prediction.AVTh",
-            "future_pred_loss": {"_target_": "loss_fn.mse.NormedMSE"},
-            **AVTH_KW,
-        },
-        "project_dim_for_nce": None,
+        "future_predictor": future_predictor,
+        "project_dim_for_nce": project_dim_for_nce,
         "temporal_aggregator_after_future_pred": {
             "_target_": "models.temporal_aggregation.Identity"},
         "dropout": 0.0,
@@ -208,11 +220,11 @@ def _dataset_cfg(annot, tmp_path, pkl):
     }
 
 
-def _data_cfg():
+def _data_cfg(subclip_frames=1):
     return {
         "num_frames": T_FRAMES,
         "frame_rate": 1.0,
-        "subclips": {"num_frames": 1, "stride": 1},
+        "subclips": {"num_frames": subclip_frames, "stride": subclip_frames},
         "load_seg_labels": False,
         "train_bs_multiplier": 5,
         "val_clips_per_video": 1,
@@ -240,12 +252,15 @@ def _data_cfg():
 # subtler couplings: eval only after epochs 0 and 2 (func/train.py:
 # 820-825), acc1=0 fed to BOTH the best-checkpoint rule and the plateau
 # step on the non-eval epoch (:826-834, so the plateau REDUCES the LR
-# mid-run and epoch-3 losses shift), and best-checkpoint ties
-_VARIANTS = ("cosine_ef1", "plateau_ef2")
+# mid-run and epoch-3 losses shift), and best-checkpoint ties.
+# ssl_nmse races the PredFutureFeat op (func/train_eval_ops.py:148-231):
+# future clips concat into the forward batch, NormedMSE ties
+# future_projected to the future clips' temp_agg_projected.
+_VARIANTS = ("cosine_ef1", "plateau_ef2", "ssl_nmse")
 
 
 def _sched_ref(variant):
-    if variant == "cosine_ef1":
+    if variant in ("cosine_ef1", "ssl_nmse"):
         return {
             "scheduler": {
                 "_target_": "common.scheduler.CosineLR",
@@ -277,17 +292,55 @@ def _sched_ref(variant):
 
 def _ref_cfg(annot, tmp_path, init_ckpt, variant="cosine_ef1"):
     sched = _sched_ref(variant)
+    ssl = variant == "ssl_nmse"
+    dataset_train = _dataset_cfg(annot, tmp_path, "EPIC_100_train.pkl")
+    if ssl:
+        # future clips feed the SSL op (base_video_dataset.py:670-683);
+        # eval never samples them (train_eval_ops.py:185-189)
+        dataset_train["return_future_clips_too"] = True
+    if ssl:
+        train_eval_op = {
+            "_target_": "func.train_eval_ops.PredFutureFeat",
+            "cls_loss_acc_fn": {
+                "_target_": "func.train_eval_ops.BasicLossAccuracy",
+                "balance_classes": False,
+            },
+            "reg_criterion": {"_target_": "loss_fn.mse.NormedMSE"},
+            "future_target": "temp_agg_projected",
+            "incur_loss_style": "separately",
+            "combine_future_losses": {"_target_": "torch.min"},
+            "cumulative_future": False,
+        }
+    else:
+        train_eval_op = {
+            "_target_": "func.train_eval_ops.Basic",
+            "cls_loss_acc_fn": {
+                "_target_": "func.train_eval_ops.BasicLossAccuracy",
+                "balance_classes": False,
+            },
+            "reg_criterion": None,
+        }
+    loss_wts = dict(LOSS_WTS)
+    if ssl:
+        # the op's dead `losses['cls']` passthrough (train_eval_ops.py:201)
+        # is fed a zero by the test shim; weight 0 excludes it from the sum
+        loss_wts["cls"] = 0.0
     return _to_attr({
         "data_parallel": False,
         "sync_bn": False,
         "test_only": False,
         "dist_backend": "gloo",
         "pytorch": {"video_backend": "video_reader"},
-        "dataset_train": _dataset_cfg(annot, tmp_path, "EPIC_100_train.pkl"),
+        "dataset_train": dataset_train,
+        # ssl: one subclip covering all frames — the op cats future clips
+        # into the batch and the reference's future clips lack the #clips
+        # dim (base_video_dataset.py:670-683 vs :793), so per-frame
+        # subclips can never cat; (T, T) subclips + the unsqueeze shim in
+        # _run_reference line the shapes up on the reference side
         "dataset_eval": _dataset_cfg(
             annot, tmp_path, "EPIC_100_validation.pkl"),
-        "data_train": _data_cfg(),
-        "data_eval": _data_cfg(),
+        "data_train": _data_cfg(T_FRAMES if ssl else 1),
+        "data_eval": _data_cfg(T_FRAMES if ssl else 1),
         "train": {
             "batch_size": BS,
             "init_from_model": [[str(init_ckpt)]],
@@ -303,7 +356,7 @@ def _ref_cfg(annot, tmp_path, init_ckpt, variant="cosine_ef1"):
                 "save_freq": None,
                 "save_freq_min": None,
                 "save_intermediates": False,
-                "loss_wts": LOSS_WTS,
+                "loss_wts": loss_wts,
             },
         },
         "eval": {
@@ -315,15 +368,10 @@ def _ref_cfg(annot, tmp_path, init_ckpt, variant="cosine_ef1"):
                 "only_run_featext": False,
             },
         },
-        "train_eval_op": {
-            "_target_": "func.train_eval_ops.Basic",
-            "cls_loss_acc_fn": {
-                "_target_": "func.train_eval_ops.BasicLossAccuracy",
-                "balance_classes": False,
-            },
-            "reg_criterion": None,
-        },
-        "model": _ref_model_cfg(),
+        "train_eval_op": train_eval_op,
+        "model": _ref_model_cfg(
+            16 if ssl else None, future="mlp" if ssl else "avth",
+            temporal_agg="Mean" if ssl else "Identity"),
         "opt": {
             "lr_wd": [["__all__", LR, WD]],
             "scale_lr_by_bs": False,
@@ -342,7 +390,7 @@ def _ref_cfg(annot, tmp_path, init_ckpt, variant="cosine_ef1"):
 
 
 def _sched_ours(variant):
-    if variant == "cosine_ef1":
+    if variant in ("cosine_ef1", "ssl_nmse"):
         return [
             "train.eval_freq=1",
             "opt/scheduler=cosine",
@@ -362,7 +410,16 @@ def _sched_ours(variant):
 
 
 def _our_overrides(annot, tmp_path, variant="cosine_ef1"):
-    return [
+    ssl_extra = []
+    sub = 1
+    if variant == "ssl_nmse":
+        sub = T_FRAMES  # see the subclips note in _ref_cfg
+        ssl_extra = [
+            "train_eval_op=pred_future_feat",  # reg_criterion default: mse
+            "model.project_dim_for_nce=16",
+            "+dataset_train.return_future_clips_too=true",
+        ]
+    return ssl_extra + [
         f"train.batch_size={BS}",
         f"train.num_epochs={N_EPOCHS}",
         "train.shuffle_data=false",
@@ -375,26 +432,33 @@ def _our_overrides(annot, tmp_path, variant="cosine_ef1"):
         ],
         "model/backbone=identity",
         f"model.backbone_dim={C_FEAT}",
-        "model/temporal_aggregator=identity",
-        "model/future_predictor=avth",
+        ("model/temporal_aggregator=mean" if variant == "ssl_nmse"
+         else "model/temporal_aggregator=identity"),
         "model.dropout=0.0",
         "model.classifier_on_past=false",
-        *[f"+model.future_predictor.{k}={v}" for k, v in AVTH_KW.items()],
-        "+model.future_predictor.future_pred_loss="
-        "{_target_: loss_fn.mse.NormedMSE}",
+        *(
+            ["model/future_predictor=mlp",
+             "+model.future_predictor.num_layers=2"]
+            if variant == "ssl_nmse" else
+            ["model/future_predictor=avth",
+             *[f"+model.future_predictor.{k}={v}"
+               for k, v in AVTH_KW.items()],
+             "+model.future_predictor.future_pred_loss="
+             "{_target_: loss_fn.mse.NormedMSE}"]
+        ),
         "opt/optimizer=sgd",
         f"opt.lr_wd=[[__all__,{LR},{WD}]]",
         "opt.optimizer.nesterov=true",
         *_sched_ours(variant),
         f"data_train.num_frames={T_FRAMES}",
         "data_train.frame_rate=1",
-        "data_train.subclips.num_frames=1",
-        "data_train.subclips.stride=1",
+        f"data_train.subclips.num_frames={sub}",
+        f"data_train.subclips.stride={sub}",
         "data_train.workers=0",
         f"data_eval.num_frames={T_FRAMES}",
         "data_eval.frame_rate=1",
-        "data_eval.subclips.num_frames=1",
-        "data_eval.subclips.stride=1",
+        f"data_eval.subclips.num_frames={sub}",
+        f"data_eval.subclips.stride={sub}",
         "data_eval.workers=0",
         "dataset@dataset_train=epic_kitchens100/anticipation_train",
         "dataset@dataset_eval=epic_kitchens100/anticipation_val",
@@ -419,12 +483,57 @@ def _our_overrides(annot, tmp_path, variant="cosine_ef1"):
     ]
 
 
-def _run_reference(ref_cfg, run_dir, monkeypatch):
+def _run_reference(ref_cfg, run_dir, monkeypatch, ssl=False):
     """Run the genuine func.train.main() chdir'd into run_dir, capturing
     per-iter losses, per-eval metrics + bundles."""
     ref_harness.install_train_stubs()
     ref_train = ref_harness.import_ref("func.train")
     import torch.distributed as dist
+
+    if ssl:
+        # environment shim, not behavior: PredFutureFeat reads
+        # losses['cls'] (train_eval_ops.py:201) — a key BasicLossAccuracy
+        # never produces (it emits cls_<task>), so the op as shipped
+        # KeyErrors with any real cls fn. Feed it a zero; weight 0.0 in
+        # loss_wts keeps it out of the weighted sum (func/train.py:212-214)
+        ref_ops = ref_harness.import_ref("func.train_eval_ops")
+        orig_cls_fwd = ref_ops.BasicLossAccuracy.forward
+
+        # (the op also calls the cls fn with TWO args, train_eval_ops.py:
+        # 199, vs BasicLossAccuracy's three — default the third; it is
+        # only read on the classifier_on_past path, off here)
+        def fwd_with_cls(self, outputs, target, target_subclips=None):
+            losses, accs = orig_cls_fwd(self, outputs, target,
+                                        target_subclips)
+            # per-sample zeros: eval appends unreduced losses to H5
+            # (scalar datasets reject the gzip filter)
+            bsz = next(iter(target.values())).shape[0]
+            losses.setdefault("cls", torch.zeros(bsz))
+            return losses, accs
+
+        monkeypatch.setattr(
+            ref_ops.BasicLossAccuracy, "forward", fwd_with_cls)
+
+        # environment shim #2: the reference stores the main video with a
+        # leading #clips dim but future clips WITHOUT it
+        # (base_video_dataset.py:670-683 vs :793), so PredFutureFeat's
+        # torch.cat of the two (train_eval_ops.py:190-193) dimension-errors
+        # on every shipped data config. Align the ranks so the op's own
+        # code can run; our dataset gives futures the #clips dim natively
+        # (a documented deliberate delta, avt_tpu/data/dataset.py:397)
+        orig_op_call = ref_ops.PredFutureFeat.__call__
+
+        def call_rank_aligned(self, data, train_mode=True):
+            if train_mode and isinstance(data, dict):
+                vnd = data["video"].ndim
+                for k in list(data):
+                    if (k.startswith("future_") and k.endswith("_video")
+                            and data[k].ndim == vnd - 1):
+                        data[k] = data[k].unsqueeze(1)
+            return orig_op_call(self, data, train_mode=train_mode)
+
+        monkeypatch.setattr(
+            ref_ops.PredFutureFeat, "__call__", call_rank_aligned)
 
     if not dist.is_initialized():
         # single-process gloo group: the reference barriers unconditionally
@@ -626,7 +735,10 @@ def test_whole_trainer_vs_reference(tmp_path, monkeypatch, variant):
     assert len(ds_probe) == 12, "fixture rows must all survive anticipation"
     torch.manual_seed(7)
     init_model = ref_bm.BaseModel(
-        _ref_model_cfg(),
+        _ref_model_cfg(
+            16 if variant == "ssl_nmse" else None,
+            future="mlp" if variant == "ssl_nmse" else "avth",
+            temporal_agg="Mean" if variant == "ssl_nmse" else "Identity"),
         num_classes={k: len(v) for k, v in ds_probe.classes.items()},
         class_mappings=ds_probe.class_mappings,
     )
@@ -637,7 +749,8 @@ def test_whole_trainer_vs_reference(tmp_path, monkeypatch, variant):
     ref_dir = tmp_path / "ref"
     ref_dir.mkdir()
     ref = _run_reference(_ref_cfg(annot, tmp_path, init_ckpt, variant),
-                         str(ref_dir), monkeypatch)
+                         str(ref_dir), monkeypatch,
+                         ssl=variant == "ssl_nmse")
 
     # ---- our side (subprocess, 1 CPU device) ------------------------
     ours_dir = tmp_path / "ours"
@@ -654,7 +767,7 @@ def test_whole_trainer_vs_reference(tmp_path, monkeypatch, variant):
 
     # 2. per-epoch eval primary metric (AR5, %) on the variant's cadence
     want_epochs = (
-        [1.0, 2.0, 3.0] if variant == "cosine_ef1" else [1.0, 3.0]
+        [1.0, 3.0] if variant == "plateau_ef2" else [1.0, 2.0, 3.0]
     )
     assert [e for e, _ in ref["eval_metrics"]] == want_epochs
     np.testing.assert_array_equal(ours["eval_epochs"], want_epochs)

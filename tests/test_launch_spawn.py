@@ -175,3 +175,90 @@ def test_spawn_two_process_equals_single_process(tmp_path, monkeypatch):
             not np.array_equal(np.asarray(leaf), np.asarray(flat_2[path]))
         )
     assert moved > 0, "resumed run trained no further"
+
+
+def test_spawn_two_process_ssl_infonce_equals_single_process(tmp_path):
+    """SSL (PredFutureFeat + SimclrInfoNCE) under --spawn 2: the InfoNCE
+    negatives span the GLOBAL batch assembled from BOTH processes' loader
+    shards (the reference's explicit all_gather, loss_fn/simclr_infonce.py:
+    146-157, happens inside XLA here), so 2-process == 1-process params is
+    exactly the global-batch-negatives claim at the process level."""
+    annot = _write_tree(tmp_path)
+    # the ssl_nmse whole-trainer topology (mean agg + MLP future + SSL op,
+    # whole-clip subclips — the MIL 'together' path wants flat (B, P)
+    # projections), with the reg criterion swapped to the collective
+    # InfoNCE
+    overrides = [
+        o for o in _our_overrides(annot, tmp_path, "ssl_nmse")
+        if not o.startswith(("train.batch_size", "train.num_epochs"))
+    ] + [
+        "train.batch_size=1",  # x8 data shards on both topologies
+        "train.num_epochs=2",
+        "train_eval_op/reg_criterion=simclr_infonce",
+        "train_eval_op.incur_loss_style=together",
+    ]
+    expt = tmp_path / "spawn_ssl.txt"
+    expt.write_text("\n".join(overrides) + "\n")
+
+    shim = tmp_path / "shim"
+    shim.mkdir()
+    shutil.copyfile(
+        Path(__file__).parent / "_fake_lmdb.py", shim / "lmdb.py")
+    child_env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    child_env["AVT_PLATFORM"] = "cpu"
+    child_env["PYTHONPATH"] = ":".join(
+        [str(shim), str(REPO)]
+        + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+    )
+
+    def run(n_devices, spawn, out_root):
+        env = dict(child_env)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_devices}"
+        )
+        cmd = [sys.executable, "-m", "avt_tpu.launch", "-c", str(expt)]
+        if spawn:
+            cmd += ["--spawn", str(spawn)]
+        proc = subprocess.run(
+            cmd, cwd=str(out_root), env=env, capture_output=True,
+            text=True, timeout=1500,
+        )
+        logs = ""
+        for lf in sorted(Path(out_root).glob("OUTPUTS/*/rank*.log")):
+            logs += f"\n--- {lf}:\n" + lf.read_text()[-3000:]
+        assert proc.returncode == 0, (
+            f"launch failed\nstdout:{proc.stdout[-3000:]}\n"
+            f"stderr:{proc.stderr[-3000:]}\n{logs}"
+        )
+        return Path(out_root) / "OUTPUTS" / "spawn_ssl" / "0"
+
+    single_root = tmp_path / "single"
+    single_root.mkdir()
+    run_dir_1 = run(8, spawn=None, out_root=single_root)
+    multi_root = tmp_path / "multi"
+    multi_root.mkdir()
+    run_dir_2 = run(4, spawn=2, out_root=multi_root)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree_1 = ckptr.restore(str((run_dir_1 / "checkpoint").resolve()))
+    tree_2 = ckptr.restore(str((run_dir_2 / "checkpoint").resolve()))
+    assert float(tree_1["epoch"]) == float(tree_2["epoch"]) == 2.0
+    flat_1 = jax.tree_util.tree_flatten_with_path(
+        tree_1["state"]["params"])[0]
+    flat_2 = dict(jax.tree_util.tree_flatten_with_path(
+        tree_2["state"]["params"])[0])
+    assert flat_1 and len(flat_1) == len(flat_2)
+    # the project head must exist (the NCE path was active)
+    assert any("project" in jax.tree_util.keystr(p) for p, _ in flat_1)
+    for path, leaf in flat_1:
+        np.testing.assert_allclose(
+            flat_2[path], np.asarray(leaf), rtol=1e-4, atol=1e-6,
+            err_msg=f"param {jax.tree_util.keystr(path)} diverged "
+                    "between 1- and 2-process SSL training",
+        )

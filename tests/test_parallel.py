@@ -10,6 +10,7 @@ unsharded global-batch run, i.e. SyncBN semantics hold by construction and
 a `sync_bn` config flag has nothing left to toggle.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -248,3 +249,99 @@ def test_cache_rollout_sharded_equals_unsharded():
     assert "data" in str(fs.sharding.spec)
     got = np.asarray(fwd(ps, fs))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape,style,crit", [
+    ((8, 1), "together", "infonce"),
+    ((4, 2), "together", "infonce"),
+    ((8, 1), "separately", "nmse"),
+])
+def test_ssl_training_sharded_equals_single_device(mesh_shape, style, crit):
+    """The SSL (PredFutureFeat) step on a (data x model) mesh == single
+    device, loss AND updated params. InfoNCE is the reference's ONLY
+    explicitly collective loss (loss_fn/simclr_infonce.py:146-157
+    all-gathers embeddings across ranks); our loss is written over the
+    GLOBAL batch so GSPMD inserts that collective implicitly — this pins
+    the global-batch-negatives claim (losses/infonce.py:70-78) with
+    gradients flowing through the psum."""
+    from avt_tpu.losses import NormedMSE, SimclrInfoNCE
+    from avt_tpu.models import (
+        AVTModel,
+        IdentityBackbone,
+        IdentityFuture,
+        LinearClassifier,
+        MeanAgg,
+    )
+    from avt_tpu.models.temporal_agg import IdentityAgg
+    from avt_tpu.train import TrainState, build_optimizer
+    from avt_tpu.train.step import make_ssl_train_step
+
+    n_cls, C, B, T = 5, 16, 16, 4
+    model = AVTModel(
+        backbone=IdentityBackbone(),
+        temporal_aggregator=MeanAgg(in_features=C),
+        future_predictor=IdentityFuture(in_features=C),
+        temporal_aggregator_after_future_pred=IdentityAgg(in_features=C),
+        classifiers={"action": LinearClassifier(out_features=n_cls)},
+        num_classes=(("action", n_cls),),
+        backbone_dim=C,
+        project_dim_for_nce=8,
+        dropout=0.0,
+    )
+    batch = {
+        "video": jnp.asarray(
+            RNG.normal(size=(B, 1, C, T, 1, 1)).astype(np.float32)
+        ),
+        "target": {"action": jnp.asarray(RNG.integers(0, n_cls, size=(B,)))},
+        "future_0_video": jnp.asarray(
+            RNG.normal(size=(B, 1, C, T, 1, 1)).astype(np.float32)
+        ),
+        "future_1_video": jnp.asarray(
+            RNG.normal(size=(B, 1, C, T, 1, 1)).astype(np.float32)
+        ),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["video"])
+    tx, _ = build_optimizer(
+        params, [["__all__", 0.05, 1e-4]],
+        optimizer_name="sgd", scheduler_name="cosine",
+        iters_per_epoch=10, num_epochs=2, warmup_epochs=0,
+        optimizer_kwargs={"nesterov": True},
+    )
+    criterion = (
+        SimclrInfoNCE(temperature=0.1) if crit == "infonce" else NormedMSE()
+    )
+    step = make_ssl_train_step(
+        model, tx,
+        loss_wts={"cls_action": 1.0, "reg": 1.0},
+        num_classes={"action": n_cls},
+        reg_criterion=criterion,
+        nfutures=2,
+        incur_loss_style=style,
+        donate=False,
+    )
+
+    def train2(params, batch):
+        state = TrainState.create(params, tx)
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+        return state.params, metrics
+
+    p_ref, m_ref = train2(params, batch)
+    mesh = make_mesh(*mesh_shape)
+    p_sh, m_sh = train2(
+        shard_params(params, mesh), shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_sh["loss/reg"]), float(m_ref["loss/reg"]), rtol=1e-5
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_sh),
+        jax.tree_util.tree_leaves_with_path(p_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=str(path),
+        )
