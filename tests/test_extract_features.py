@@ -244,6 +244,26 @@ def test_extract_pack_train_roundtrip(video_tree, tmp_path, monkeypatch):
     present = np.flatnonzero(~np.isnan(arr).all(axis=1))
     assert len(present) > 100 and np.diff(present).max() <= 10
 
+    # ---- featext resume: a second run with --resume skips every
+    # already-extracted uid (featext_skip_done) — the H5s gain no rows
+    # and the re-pack sees the same features (production crash-resume)
+    import h5py
+
+    h5_path = run_dir / "results" / "0.h5"
+    with h5py.File(h5_path) as f:
+        n_rows_before = f["uid"].shape[0]
+    stats2 = xf.main(
+        [
+            "--out", str(out), "--run-dir", str(run_dir),
+            "--endpoint", "temp_agg",
+            "--clip-len", "2.0", "--stride", "0.25", "--resume",
+        ]
+        + extract_overrides
+    )
+    with h5py.File(h5_path) as f:
+        assert f["uid"].shape[0] == n_rows_before, "resume re-extracted rows"
+    assert stats2["rows"] == stats["rows"]
+
     # ---- train AVT-h from the self-extracted store (expts/02 topology)
     from avt_tpu.config import Composer, parse_override
     from avt_tpu.train_net import main as train_main
