@@ -333,3 +333,35 @@ def test_extract_pack_train_roundtrip(video_tree, tmp_path, monkeypatch):
         target = np.asarray(f["target/action"])
     acc1 = float((logits.argmax(-1) == target).mean()) * 100
     assert acc1 > 30.0, acc1
+
+
+def test_pack_only_cli(tmp_path, monkeypatch):
+    """--pack-only: pack an existing featext run dir (H5s + index) into
+    stores without re-running extraction."""
+    monkeypatch.setattr(readers_mod, "lmdb", _fake_lmdb(), raising=False)
+    monkeypatch.setattr(readers_mod, "HAVE_LMDB", True)
+    run_dir = tmp_path / "run"
+    results = run_dir / "results"
+    rng = np.random.default_rng(3)
+    uids, feats = [], []
+    for t in np.arange(0.25, 5.0, 0.25):
+        uids.append(f"P09_01_{t}")
+        feats.append(rng.normal(size=C).astype(np.float32))
+    store_append_h5(
+        {"temp_agg": np.stack(feats), "uid": np.asarray(uids),
+         "idx": np.arange(len(uids))},
+        str(results),
+    )
+    run_dir.mkdir(exist_ok=True)
+    with open(run_dir / xf.INDEX_NAME, "w") as f:
+        f.write("uid,video_stem,end\n")
+        for u in uids:
+            f.write(f"{u},P09_01,{u.rsplit('_', 1)[1]}\n")
+    out = tmp_path / "store"
+    stats = xf.main([
+        "--pack-only", "--run-dir", str(run_dir), "--out", str(out),
+    ])
+    assert stats["rows"] == len(uids) and stats["videos"] == 1
+    assert (out / "npy" / "P09_01.npy").exists()
+    # main() runs verify_roundtrip unless --no-verify; reaching here means
+    # the readback was bit-exact through both readers
