@@ -152,11 +152,31 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
         keys=keys,
         sampler=train_sampler,
     )
+    # Independent per-process feature extraction (the reference's featext
+    # semantics: dense_clip_sampler shard_per_worker pre-shards the VIDEOS
+    # per rank and data_eval.use_dist_sampler=false turns the distributed
+    # sampler off, func/train.py:626-634 + base_video_dataset.py:222-227).
+    # Each process then owns a different-sized dataset, so the eval must
+    # NOT be a lockstep global-mesh program: loaders stay unsharded and
+    # the forward runs on local devices with a local param copy.
+    only_featext = bool(cfg["eval"]["eval_fn"].get("only_run_featext"))
+    dense_eval_cfg = (cfg.get("dataset_eval") or {}).get(
+        "sample_clips_densely_fn") or {}
+    independent_eval = world_size > 1 and only_featext and (
+        bool(dense_eval_cfg.get("shard_per_worker"))
+        or not cfg["data_eval"].get("use_dist_sampler", True)
+    )
+    if independent_eval and n_model > 1:
+        raise ValueError(
+            "independent featext needs fully replicated params; "
+            "parallel.model_size must be 1"
+        )
     eval_loaders = {
         suffix: DataLoader(
             ds, eval_bs, shuffle=False, drop_last=False,
             num_workers=cfg["data_eval"].get("workers", 8),
-            rank=jax.process_index(), world_size=world_size, keys=keys,
+            rank=0 if independent_eval else jax.process_index(),
+            world_size=1 if independent_eval else world_size, keys=keys,
             sampler=eval_samplers[suffix],
             # eval fidelity: failed reads repeat an in-batch row (same idx,
             # averaged away on merge) instead of substituting a random
@@ -274,22 +294,35 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     last_eval = {}
 
     def eval_fn(state, epoch):
-        metric = evaluate(
-            eval_step, state.params, eval_loaders,
-            save_dir=work_dir, epoch=epoch,
-            store=cfg["eval"]["eval_fn"].get("store", True),
-            only_run_featext=cfg["eval"]["eval_fn"].get(
-                "only_run_featext", False),
-            logger=logger, rank=jax.process_index(),
-            place_batch=place_batch,
-            gather_results=lambda res: unshard_results(res, mesh),
-            # ragged final eval batches only need padding when the batch
-            # must be assembled ACROSS processes; single-host GSPMD
-            # handles uneven batch dims natively
-            pad_multiple=(
-                n_data // world_size if world_size > 1 else 1
-            ),
-        )
+        if independent_eval:
+            # reference featext semantics: every process forwards ITS OWN
+            # shard locally — replicated params are pulled to host once
+            # and the jit runs on local devices, no collectives, no
+            # lockstep batch counts across processes
+            params = jax.tree_util.tree_map(np.asarray, state.params)
+            metric = evaluate(
+                eval_step, params, eval_loaders,
+                save_dir=work_dir, epoch=epoch,
+                store=cfg["eval"]["eval_fn"].get("store", True),
+                only_run_featext=True,
+                logger=logger, rank=jax.process_index(),
+            )
+        else:
+            metric = evaluate(
+                eval_step, state.params, eval_loaders,
+                save_dir=work_dir, epoch=epoch,
+                store=cfg["eval"]["eval_fn"].get("store", True),
+                only_run_featext=only_featext,
+                logger=logger, rank=jax.process_index(),
+                place_batch=place_batch,
+                gather_results=lambda res: unshard_results(res, mesh),
+                # ragged final eval batches only need padding when the
+                # batch must be assembled ACROSS processes; single-host
+                # GSPMD handles uneven batch dims natively
+                pad_multiple=(
+                    n_data // world_size if world_size > 1 else 1
+                ),
+            )
         last_eval["metric"] = metric
         return metric
 

@@ -174,22 +174,8 @@ def _base_overrides(tmp):
     ]
 
 
-@pytest.mark.slow
-def test_extract_pack_train_roundtrip(video_tree, tmp_path, monkeypatch):
-    """The whole workflow: raw video -> tiny-ViT featext (dense clips) ->
-    RULSTM-layout stores -> AVT-h trains from the self-extracted features
-    and learns the classes."""
-    from avt_tpu.data.video_decoder import have_native_decoder
-
-    if not have_native_decoder():
-        pytest.skip("native decoder not available")
-    monkeypatch.setattr(readers_mod, "lmdb", _fake_lmdb(), raising=False)
-    monkeypatch.setattr(readers_mod, "HAVE_LMDB", True)
-    tmp = video_tree
-    run_dir = tmp_path / "featext_run"
-    out = tmp_path / "store"
-
-    extract_overrides = _base_overrides(tmp) + [
+def _extract_overrides(tmp):
+    return _base_overrides(tmp) + [
         "train.batch_size=1",  # x8 cpu devices = 8 global = the 8 train rows
         "eval.batch_size=16",
         "model/backbone=avt_b",
@@ -226,6 +212,24 @@ def test_extract_pack_train_roundtrip(video_tree, tmp_path, monkeypatch):
         f"dataset_train.root=[{tmp}/vids]",
         f"dataset_eval.root=[{tmp}/vids]",
     ]
+
+
+@pytest.mark.slow
+def test_extract_pack_train_roundtrip(video_tree, tmp_path, monkeypatch):
+    """The whole workflow: raw video -> tiny-ViT featext (dense clips) ->
+    RULSTM-layout stores -> AVT-h trains from the self-extracted features
+    and learns the classes."""
+    from avt_tpu.data.video_decoder import have_native_decoder
+
+    if not have_native_decoder():
+        pytest.skip("native decoder not available")
+    monkeypatch.setattr(readers_mod, "lmdb", _fake_lmdb(), raising=False)
+    monkeypatch.setattr(readers_mod, "HAVE_LMDB", True)
+    tmp = video_tree
+    run_dir = tmp_path / "featext_run"
+    out = tmp_path / "store"
+
+    extract_overrides = _extract_overrides(tmp)
     stats = xf.main(
         [
             "--out", str(out), "--run-dir", str(run_dir),
@@ -365,3 +369,87 @@ def test_pack_only_cli(tmp_path, monkeypatch):
     assert (out / "npy" / "P09_01.npy").exists()
     # main() runs verify_roundtrip unless --no-verify; reaching here means
     # the readback was bit-exact through both readers
+
+
+@pytest.mark.slow
+def test_extract_two_process_shards(video_tree, tmp_path):
+    """Multi-process extraction: 2 coordinator-connected processes shard
+    the videos (shard_per_worker), each writes its own per-rank H5, the
+    barrier keeps rank 0 from packing early, and ONLY rank 0 packs the
+    merged store covering every video."""
+    import shutil
+    import socket
+    import subprocess
+
+    from avt_tpu.data.video_decoder import have_native_decoder
+
+    if not have_native_decoder():
+        pytest.skip("native decoder not available")
+    tmp = video_tree
+    run_dir = tmp_path / "run"
+    out = tmp_path / "store"
+    run_dir.mkdir()
+
+    shim = tmp_path / "shim"
+    shim.mkdir()
+    shutil.copyfile(
+        Path(__file__).resolve().parent / "_fake_lmdb.py", shim / "lmdb.py")
+    repo = Path(__file__).resolve().parent.parent
+    base_env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    base_env["AVT_PLATFORM"] = "cpu"
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    base_env["PYTHONPATH"] = ":".join(
+        [str(shim), str(repo)]
+        + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+    )
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    cmd = [
+        sys.executable, str(repo / "tools" / "extract_features.py"),
+        "--run-dir", str(run_dir), "--out", str(out),
+        "--endpoint", "temp_agg", "--clip-len", "2.0", "--stride", "1.0",
+    ] + _extract_overrides(tmp)
+    procs = []
+    for rank in range(2):
+        env = dict(base_env)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+        )
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=str(repo),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for rank, (p, text) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{text[-4000:]}"
+
+    # each rank extracted its own video shard into its own H5
+    import h5py
+
+    per_rank_vids = []
+    n_total = 0
+    for rank in (0, 1):
+        h5 = run_dir / "results" / f"{rank}.h5"
+        assert h5.exists(), f"rank {rank} wrote no H5"
+        with h5py.File(h5) as f:
+            uids = [u.decode() for u in f["uid"][()]]
+        n_total += len(set(uids))
+        per_rank_vids.append({u.rsplit("_", 2)[0] + "_01" for u in uids})
+    assert per_rank_vids[0] and per_rank_vids[1]
+    assert not (per_rank_vids[0] & per_rank_vids[1]), "shards overlap"
+    # EVERY dense clip extracted exactly once: 4 videos x 40 s / 1.0 s
+    # stride (the loader must NOT re-shard the already-sharded dataset)
+    assert n_total == 4 * 40, n_total
+
+    # only rank 0 packed, and the store covers all four videos (rank-0-
+    # only logging silences rank 1's logger, so assert on pack ABSENCE)
+    for v in range(4):
+        assert (out / "npy" / f"P0{v}_01.npy").exists()
+    assert "npy store" not in outs[1] and "verified" not in outs[1]
+    assert "verified" in outs[0]  # rank 0 packed + readback-checked

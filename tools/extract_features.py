@@ -328,19 +328,36 @@ def main(argv=None):
     results_dir = os.path.join(args.run_dir, RESULTS_DIR)
 
     index_path = os.path.join(args.run_dir, INDEX_NAME)
+    rank = int(
+        os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK") or 0
+    )
     if not args.pack_only:
         from avt_tpu.train_net import main as train_main
 
-        cfg_index = compose_cfg(
-            args.config_file, args.overrides, args, args.conf_dir,
-            for_index=True,
-        )
-        index_path = write_index(cfg_index, args.run_dir, logger)
+        if rank == 0:
+            cfg_index = compose_cfg(
+                args.config_file, args.overrides, args, args.conf_dir,
+                for_index=True,
+            )
+            index_path = write_index(cfg_index, args.run_dir, logger)
         cfg = compose_cfg(
             args.config_file, args.overrides, args, args.conf_dir)
         logger.info("Extracting '%s' features -> %s", args.endpoint,
                     results_dir)
         train_main(cfg, args.run_dir)
+        # multi-process extraction (shard_per_worker): featext eval skips
+        # the usual cross-process syncs (reference func/train.py docstring),
+        # so rank 0 must not pack while other ranks are still appending —
+        # barrier first, then only rank 0 packs the merged H5s
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("featext_done")
+    if rank != 0:
+        logger.info("rank %d: extraction finished; rank 0 packs", rank)
+        return None
     if not os.path.exists(index_path):
         raise SystemExit(
             f"{index_path} missing — run extraction first (or copy the "
