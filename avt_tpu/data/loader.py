@@ -66,7 +66,10 @@ class DataLoader:
         duplicates a good row from the same batch (eval: duplicate idx
         rows are averaged out by read_results' mean-per-idx merge, so
         final metrics never include substituted samples — reference
-        func/train.py:500-508 shrinks the batch instead). Either way
+        func/train.py:500-508 shrinks the batch instead). A batch whose
+        EVERY read fails falls back to random substitution under both
+        policies: the batch COUNT must match on every process or
+        lockstep multi-rank programs deadlock in their collectives.
         `backfill_count` tallies failures per epoch."""
         if backfill not in ("random", "repeat"):
             raise ValueError(f"Unknown backfill policy {backfill!r}")
@@ -161,18 +164,30 @@ class DataLoader:
                         "%d so far this epoch)", n_failed, len(items), bi,
                         self.backfill, self.backfill_count,
                     )
-                if not good:
-                    LOG.error("every read in batch %d failed; dropping it", bi)
-                    continue
-                if self.backfill == "repeat":
+                if good and self.backfill == "repeat":
                     # duplicate in-batch rows: same idx -> merged away by
                     # read_results; no foreign sample enters the batch
                     i = 0
                     while len(good) < len(items):
                         good.append(good[i % len(good)])
                         i += 1
-                else:  # random substitute to keep training on full batches
+                else:
+                    # random substitutes keep training on full batches —
+                    # and keep the BATCH COUNT identical on every process
+                    # (dropping a batch would desync lockstep multi-rank
+                    # programs into a collective deadlock). Bounded: a
+                    # fully unreadable dataset must raise, not spin.
+                    attempts = 0
+                    max_attempts = max(100, 20 * len(items))
                     while len(good) < len(items):
+                        if attempts >= max_attempts:
+                            raise RuntimeError(
+                                f"batch {bi}: {len(items) - len(good)} "
+                                f"slots still unfilled after "
+                                f"{max_attempts} random backfill "
+                                "attempts — dataset unreadable?"
+                            )
+                        attempts += 1
                         j = int(backfill_rng.integers(len(indices)))
                         it = self._fetch(indices[j])
                         if it is not None:

@@ -179,15 +179,33 @@ def test_launcher_slurm_emitter(tmp_path, monkeypatch, capsys):
     assert "#SBATCH --time=120" in script
     assert "#SBATCH --partition=tpu" in script
     assert "#SBATCH --requeue" in script
-    assert "--signal=B:USR1@120" in script  # graceful-preempt pre-notice
+    # no 'B:' prefix — that would signal only the batch shell, and the
+    # graceful-preempt handler lives in the srun task (submitit convention)
+    assert "--signal=USR1@120" in script
+    assert "--signal=B:" not in script
     assert 'JAX_PROCESS_ID=$SLURM_PROCID' in script
     assert "-lt 5" in script and "scontrol requeue" in script
     assert "--run-id $SLURM_ARRAY_TASK_ID" in script
+    # output path must not point into directories nothing pre-creates
+    assert "%a/" not in script
+    # coordinator port derived from the job id (concurrent jobs sharing a
+    # head node must not collide on a constant port)
+    assert "SLURM_JOB_ID % 50000" in script
     # the emitted script is valid bash
     subprocess.run(["bash", "-n", path], check=True)
     # pinning -r collapses the array to that variant
     path1 = launch_main(["-c", str(expt), "--slurm", "-r", "1"])
     assert "#SBATCH --array=1-1" in open(path1).read()
+    # extra overrides with spaces/braces (the project's own flow-mapping
+    # syntax) survive as ONE shell token and the script stays valid bash
+    flow = "+dataset_eval.reader_fn={_target_: x, stride: 0.1}"
+    path2 = launch_main([
+        "-c", str(expt), "--slurm",
+        "--sbatch-out", str(tmp_path / "s2.sh"), flow,
+    ])
+    s2 = open(path2).read()
+    assert "{_target_: x, stride: 0.1}" in s2
+    subprocess.run(["bash", "-n", path2], check=True)
 
 
 def test_choose_run_interactive():
@@ -220,3 +238,10 @@ def test_coordinator_bind_failed(tmp_path):
     bad.write_text("RuntimeError: Failed to bind: Address already in use\n")
     assert _coordinator_bind_failed([str(good), str(bad)])
     assert not _coordinator_bind_failed([str(tmp_path / "missing.log")])
+    # a LONG run that later fails must never be classified as a bind race
+    # (that would re-run hours of training), nor may a mere ALREADY_EXISTS
+    # status substring trigger it
+    assert not _coordinator_bind_failed([str(bad)], elapsed_s=3600.0)
+    late = tmp_path / "rank2.log"
+    late.write_text("tsl status: ALREADY_EXISTS: checkpoint step 4\n")
+    assert not _coordinator_bind_failed([str(late)])

@@ -46,15 +46,17 @@ INDEX_NAME = "featext_index.csv"
 RESULTS_DIR = "results"
 
 
-def _featext_overrides(args) -> List[str]:
+def _featext_overrides(args, *, shard: bool = True,
+                       resume: Optional[bool] = None) -> List[str]:
     """Overrides forcing feature-extraction mode onto any config."""
+    resume = bool(args.resume) if resume is None else resume
     dense = (
         "{_target_: datasets.base_video_dataset.dense_clip_sampler, "
         f"clip_len: {args.clip_len}, stride: {args.stride}, "
         "keep_orig_clips: false, "
-        f"featext_skip_done: {str(bool(args.resume)).lower()}, "
+        f"featext_skip_done: {str(resume).lower()}, "
         f"featext_results_dir: {os.path.join(args.run_dir, RESULTS_DIR)}, "
-        "shard_per_worker: true}"
+        f"shard_per_worker: {str(shard).lower()}}}"
     )
     return [
         "test_only=true",
@@ -80,15 +82,12 @@ def compose_cfg(config_file: Optional[str], overrides: List[str], args,
     if config_file:
         parsed += parse_overrides_file(config_file)
     parsed += [parse_override(o) for o in overrides]
-    extra = _featext_overrides(args)
-    if for_index:
-        # the index must cover the FULL dataset, unsharded, with no resume
-        # filtering — every rank's pack sees the same uid -> frame map
-        extra = [
-            o.replace("shard_per_worker: true", "shard_per_worker: false")
-             .replace("featext_skip_done: true", "featext_skip_done: false")
-            for o in extra
-        ]
+    # for_index: the index must cover the FULL dataset, unsharded, with no
+    # resume filtering — every rank's pack sees the same uid -> frame map
+    extra = _featext_overrides(
+        args, shard=not for_index,
+        resume=False if for_index else None,
+    )
     parsed += [parse_override(o) for o in extra]
     variants = expand_sweeps(parsed)
     if len(variants) > 1:
@@ -136,30 +135,90 @@ def frame_id_for_time(end_sec: float, fps: float = RULSTM_TSN_FPS) -> int:
     return max(1, int(np.floor(end_sec * fps)))
 
 
-def _iter_h5_rows(results_dir: str, endpoint: str):
-    """(uid, feature) rows from every rank's H5, keyed on the endpoint."""
+def _h5_files(results_dir: str) -> List[str]:
     import glob
-
-    import h5py
 
     resfiles = sorted(glob.glob(os.path.join(results_dir, "*.h5")))
     if not resfiles:
         raise FileNotFoundError(f"no H5 result files in {results_dir}")
-    for resfile in resfiles:
+    return resfiles
+
+
+def _endpoint_key(f, resfile: str, endpoint: str) -> str:
+    keys = [k for k in f.keys() if k.startswith(endpoint)]
+    if not keys:
+        raise KeyError(
+            f"{resfile} stores {sorted(f.keys())}, no '{endpoint}*' — "
+            "pass --endpoint matching the extraction's store_endpoint"
+        )
+    return endpoint if endpoint in keys else keys[0]
+
+
+def _decode_uid(uid) -> str:
+    return uid.decode() if isinstance(uid, bytes) else str(uid)
+
+
+def _locate_rows(resfiles, index, endpoint, store_fps):
+    """Pass 1 over the H5s: uid strings only (no features in RAM).
+
+    Returns (per_video: stem -> [(file_i, row_i, frame_id)], feat_dim,
+    n_rows, n_skip). A later row for the same frame id wins, matching the
+    append-order semantics of a resumed extraction.
+    """
+    import h5py
+
+    per_video: Dict[str, List[Tuple[int, int, int]]] = {}
+    n_rows = n_skip = 0
+    feat_dim = None
+    for fi, resfile in enumerate(resfiles):
         with h5py.File(resfile, "r") as f:
-            keys = [k for k in f.keys() if k.startswith(endpoint)]
-            if not keys:
-                raise KeyError(
-                    f"{resfile} stores {sorted(f.keys())}, no '{endpoint}*' — "
-                    "pass --endpoint matching the extraction's store_endpoint"
+            key = _endpoint_key(f, resfile, endpoint)
+            shape = f[key].shape
+            if len(shape) != 2:
+                raise ValueError(
+                    f"endpoint '{endpoint}' stores {shape[1:]}-shaped rows; "
+                    "per-frame stores need one vector per clip — extract an "
+                    "aggregated endpoint (temp_agg with a mean/transformer "
+                    "aggregator, or backbone_mean)"
                 )
-            key = endpoint if endpoint in keys else keys[0]
-            feats = f[key]
+            if feat_dim is None:
+                feat_dim = int(shape[1])
+            elif int(shape[1]) != feat_dim:
+                raise ValueError(
+                    f"{resfile} feature width {shape[1]} != {feat_dim}"
+                )
             uids = f["uid"][()]
-            for i in range(feats.shape[0]):
-                uid = uids[i]
-                uid = uid.decode() if isinstance(uid, bytes) else str(uid)
-                yield uid, np.asarray(feats[i], dtype=np.float32)
+        for ri, uid in enumerate(uids):
+            uid = _decode_uid(uid)
+            if uid not in index:
+                n_skip += 1
+                continue
+            stem, end = index[uid]
+            per_video.setdefault(stem, []).append(
+                (fi, ri, frame_id_for_time(end, store_fps))
+            )
+            n_rows += 1
+    return per_video, feat_dim, n_rows, n_skip
+
+
+def _gather_video(resfiles, endpoint, locs, feat_dim) -> np.ndarray:
+    """(max_frame, C) float32 array for ONE video, NaN rows = missing."""
+    import h5py
+
+    max_fid = max(fid for _, _, fid in locs)
+    arr = np.full((max_fid, feat_dim), np.nan, dtype=np.float32)
+    by_file: Dict[int, List[Tuple[int, int]]] = {}
+    for fi, ri, fid in locs:
+        by_file.setdefault(fi, []).append((ri, fid))
+    for fi, items in by_file.items():
+        items.sort()  # h5py fancy reads want increasing row indices
+        rows = np.asarray([ri for ri, _ in items])
+        with h5py.File(resfiles[fi], "r") as f:
+            key = _endpoint_key(f, resfiles[fi], endpoint)
+            data = f[key][rows]
+        for (ri, fid), row in zip(items, data):
+            arr[fid - 1] = row
+    return arr
 
 
 def pack(
@@ -178,40 +237,25 @@ def pack(
          (the NpyFeatsReader sparse-store convention, data/readers.py:212).
     lmdb: <out>/lmdb/, '<stem>_frame_%010d.jpg' -> float32 bytes (the
           RULSTM layout the reference's reader and ours both consume).
+    Memory is bounded at ONE video's features (pass 1 reads uids only;
+    pass 2 gathers one video at a time) — an EK100-scale extraction
+    (~10M clips) packs without holding the ~30 GB feature volume in RAM.
     Returns {"rows": n, "skipped": n_not_in_index, "videos": n}.
     """
     logger = logger or get_logger("extract_features")
-    per_video: Dict[str, Dict[int, np.ndarray]] = {}
-    n_rows = n_skip = 0
-    for uid, feat in _iter_h5_rows(results_dir, endpoint):
-        if uid not in index:
-            n_skip += 1
-            continue
-        if feat.ndim != 1:
-            raise ValueError(
-                f"endpoint '{endpoint}' stores {feat.shape}-shaped rows; "
-                "per-frame stores need one vector per clip — extract an "
-                "aggregated endpoint (temp_agg with a mean/transformer "
-                "aggregator, or backbone_mean)"
-            )
-        stem, end = index[uid]
-        per_video.setdefault(stem, {})[frame_id_for_time(end, store_fps)] = feat
-        n_rows += 1
+    resfiles = _h5_files(results_dir)
+    per_video, feat_dim, n_rows, n_skip = _locate_rows(
+        resfiles, index, endpoint, store_fps
+    )
     if not per_video:
         raise ValueError(
             f"nothing packable: {n_rows} rows matched the index, "
             f"{n_skip} skipped"
         )
-    if "npy" in formats:
-        npy_dir = os.path.join(out_dir, "npy")
+    npy_dir = os.path.join(out_dir, "npy") if "npy" in formats else None
+    if npy_dir:
         os.makedirs(npy_dir, exist_ok=True)
-        for stem, frames in per_video.items():
-            c = next(iter(frames.values())).shape[-1]
-            arr = np.full((max(frames), c), np.nan, dtype=np.float32)
-            for fid, feat in frames.items():
-                arr[fid - 1] = feat
-            np.save(os.path.join(npy_dir, f"{stem}.npy"), arr)
-        logger.info("npy store: %d videos -> %s", len(per_video), npy_dir)
+    env = None
     if "lmdb" in formats:
         from avt_tpu.data import readers as _readers
 
@@ -223,21 +267,28 @@ def pack(
         else:
             lmdb_dir = os.path.join(out_dir, "lmdb")
             os.makedirs(lmdb_dir, exist_ok=True)
-            nbytes = sum(
-                f.nbytes + 64 for v in per_video.values() for f in v.values()
-            )
+            nbytes = n_rows * (feat_dim * 4 + 64)
             env = _readers.lmdb.open(
                 lmdb_dir, map_size=max(nbytes * 4, 1 << 24)
             )
+    for stem, locs in per_video.items():
+        arr = _gather_video(resfiles, endpoint, locs, feat_dim)
+        if npy_dir:
+            np.save(os.path.join(npy_dir, f"{stem}.npy"), arr)
+        if env is not None:
+            present = np.flatnonzero(~np.isnan(arr).all(axis=1))
             with env.begin(write=True) as txn:
-                for stem, frames in per_video.items():
-                    for fid, feat in frames.items():
-                        txn.put(
-                            f"{stem}_frame_{fid:010d}.jpg".encode("utf-8"),
-                            np.ascontiguousarray(feat).tobytes(),
-                        )
-            env.close()
-            logger.info("lmdb store: %d videos -> %s", len(per_video), lmdb_dir)
+                for fid0 in present:
+                    txn.put(
+                        f"{stem}_frame_{fid0 + 1:010d}.jpg".encode("utf-8"),
+                        np.ascontiguousarray(arr[fid0]).tobytes(),
+                    )
+    if env is not None:
+        env.close()
+        logger.info("lmdb store: %d videos -> %s", len(per_video),
+                    os.path.join(out_dir, "lmdb"))
+    if npy_dir:
+        logger.info("npy store: %d videos -> %s", len(per_video), npy_dir)
     return {"rows": n_rows, "skipped": n_skip, "videos": len(per_video)}
 
 
@@ -252,16 +303,33 @@ def verify_roundtrip(
     logger=None,
 ) -> int:
     """Read n_check features back through the actual readers and compare
-    bit-exactly with the extracted H5 rows. Returns checks performed."""
+    bit-exactly with the extracted H5 rows. Returns checks performed.
+
+    Memory-bounded: pass 1 collects uid locations only; only the sampled
+    rows' features are fetched from the H5s."""
+    import h5py
+
     from avt_tpu.data import readers as _readers
 
     logger = logger or get_logger("extract_features")
-    rows = []
-    for uid, feat in _iter_h5_rows(results_dir, endpoint):
-        if uid in index:
-            rows.append((uid, feat))
+    resfiles = _h5_files(results_dir)
+    locs = []  # (uid, file_i, row_i)
+    for fi, resfile in enumerate(resfiles):
+        with h5py.File(resfile, "r") as f:
+            uids = f["uid"][()]
+        for ri, uid in enumerate(uids):
+            uid = _decode_uid(uid)
+            if uid in index:
+                locs.append((uid, fi, ri))
     rng = np.random.default_rng(0)
-    picks = rng.choice(len(rows), size=min(n_check, len(rows)), replace=False)
+    picks = rng.choice(len(locs), size=min(n_check, len(locs)), replace=False)
+    rows = []
+    for p in picks:
+        uid, fi, ri = locs[int(p)]
+        with h5py.File(resfiles[fi], "r") as f:
+            key = _endpoint_key(f, resfiles[fi], endpoint)
+            rows.append((uid, np.asarray(f[key][ri], dtype=np.float32)))
+    picks = np.arange(len(rows))
     readers_to_check = []
     npy_dir = os.path.join(out_dir, "npy")
     if os.path.isdir(npy_dir):
