@@ -212,9 +212,7 @@ def _build_dense_sampler(dense_cfg: Dict, root) -> Any:
     roots = [root] if isinstance(root, (str,)) else list(root or [""])
 
     def video_len_fn(path):
-        from avt_tpu.data.video_decoder import get_video_info
-
-        return get_video_info(get_abs_path(roots, path))["len"]
+        return _video_len_cached(str(get_abs_path(roots, path)))
 
     return functools.partial(
         dense_clip_sampler,
@@ -223,6 +221,18 @@ def _build_dense_sampler(dense_cfg: Dict, root) -> Any:
         skip_uids=skip_uids,
         **dense_cfg,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _video_len_cached(abs_path: str) -> float:
+    """Probe a video's duration once per process: dense-sampler datasets
+    are commonly built twice in one run (e.g. extract_features builds the
+    full dataset for its uid index and the sharded one for extraction) and
+    the open-and-probe pass over hundreds of long videos should not be
+    paid twice."""
+    from avt_tpu.data.video_decoder import get_video_info
+
+    return get_video_info(abs_path)["len"]
 
 
 def build_all_datasets(cfg: Dict) -> Tuple[list, Dict[str, Any]]:

@@ -296,16 +296,44 @@ def main(cfg: Dict, work_dir: str = ".") -> float:
     def eval_fn(state, epoch):
         if independent_eval:
             # reference featext semantics: every process forwards ITS OWN
-            # shard locally — replicated params are pulled to host once
-            # and the jit runs on local devices, no collectives, no
+            # shard — replicated params are pulled to host once and placed
+            # on a process-LOCAL mesh (batch sharded over the local
+            # devices, so all local chips work), no collectives, no
             # lockstep batch counts across processes
-            params = jax.tree_util.tree_map(np.asarray, state.params)
+            from jax.sharding import (
+                Mesh as _Mesh,
+                NamedSharding as _NS,
+                PartitionSpec as _P,
+            )
+
+            local_devices = jax.local_devices()
+            local_mesh = _Mesh(np.asarray(local_devices), ("ldata",))
+            rep = _NS(local_mesh, _P())
+            sharded = _NS(local_mesh, _P("ldata"))
+            params = jax.device_put(
+                jax.tree_util.tree_map(np.asarray, state.params), rep
+            )
+
+            def local_place(batch, batch_axis=0):
+                def place(leaf):
+                    leaf = np.asarray(leaf)
+                    ok = (
+                        leaf.ndim > batch_axis
+                        and leaf.shape[batch_axis] % len(local_devices) == 0
+                        and batch_axis == 0
+                    )
+                    return jax.device_put(leaf, sharded if ok else rep)
+
+                return jax.tree_util.tree_map(place, batch)
+
             metric = evaluate(
                 eval_step, params, eval_loaders,
                 save_dir=work_dir, epoch=epoch,
                 store=cfg["eval"]["eval_fn"].get("store", True),
                 only_run_featext=True,
                 logger=logger, rank=jax.process_index(),
+                place_batch=local_place,
+                pad_multiple=len(local_devices),
             )
         else:
             metric = evaluate(

@@ -65,7 +65,9 @@ FLOORS = {"train": 119.0, "eval": 62.0, "fed": 2.6}
 def check_floor(clips_per_sec):
     if os.environ.get("AVT_BENCH_B") or os.environ.get("AVT_BENCH_K"):
         return  # custom config — floors are for the default config only
-    min_cps = float(os.environ.get("AVT_BENCH_MIN", FLOORS[MODE]))
+    # .get: an unrecognized AVT_BENCH_MODE falls through to main() and
+    # must not KeyError AFTER a valid 15-minute measurement
+    min_cps = float(os.environ.get("AVT_BENCH_MIN", FLOORS.get(MODE, 0)))
     if min_cps and clips_per_sec < min_cps:
         log(f"REGRESSION: {clips_per_sec:.2f} clips/s < {min_cps} "
             f"floor ({MODE})")

@@ -138,9 +138,17 @@ def frame_id_for_time(end_sec: float, fps: float = RULSTM_TSN_FPS) -> int:
 def _h5_files(results_dir: str) -> List[str]:
     import glob
 
-    resfiles = sorted(glob.glob(os.path.join(results_dir, "*.h5")))
+    resfiles = glob.glob(os.path.join(results_dir, "*.h5"))
     if not resfiles:
         raise FileNotFoundError(f"no H5 result files in {results_dir}")
+    # numeric rank order (lexical would put 10.h5 before 2.h5 and break
+    # the later-row-wins dedup for >= 10-rank extractions)
+    resfiles.sort(
+        key=lambda p: (
+            (0, int(Path(p).stem)) if Path(p).stem.isdigit()
+            else (1, Path(p).stem)
+        )
+    )
     return resfiles
 
 
@@ -313,23 +321,28 @@ def verify_roundtrip(
 
     logger = logger or get_logger("extract_features")
     resfiles = _h5_files(results_dir)
-    locs = []  # (uid, file_i, row_i)
+    # last (file, row) per uid: the same later-row-wins rule pack applies
+    # (a re-extraction appends superseding rows; verifying a stale one
+    # would fail against a correctly packed store)
+    locs: Dict[str, Tuple[int, int]] = {}
     for fi, resfile in enumerate(resfiles):
         with h5py.File(resfile, "r") as f:
             uids = f["uid"][()]
         for ri, uid in enumerate(uids):
             uid = _decode_uid(uid)
             if uid in index:
-                locs.append((uid, fi, ri))
+                locs[uid] = (fi, ri)
+    loc_items = list(locs.items())
     rng = np.random.default_rng(0)
-    picks = rng.choice(len(locs), size=min(n_check, len(locs)), replace=False)
+    picks = rng.choice(
+        len(loc_items), size=min(n_check, len(loc_items)), replace=False
+    )
     rows = []
     for p in picks:
-        uid, fi, ri = locs[int(p)]
+        uid, (fi, ri) = loc_items[int(p)]
         with h5py.File(resfiles[fi], "r") as f:
             key = _endpoint_key(f, resfiles[fi], endpoint)
             rows.append((uid, np.asarray(f[key][ri], dtype=np.float32)))
-    picks = np.arange(len(rows))
     readers_to_check = []
     npy_dir = os.path.join(out_dir, "npy")
     if os.path.isdir(npy_dir):
@@ -342,16 +355,23 @@ def verify_roundtrip(
             ("lmdb", _readers.LMDBFeatsReader(lmdb_dir, read_type="normal"))
         )
     n_done = 0
-    for p in picks:
-        uid, want = rows[int(p)]
+    for uid, want in rows:
         stem, end = index[uid]
         fid = frame_id_for_time(end, store_fps)
-        # a window whose only frame is fid: readers take floor(t*fps) for
-        # t in (start, end] -> [fid] exactly
-        t_end, t_start = fid / store_fps, (fid - 1) / store_fps
+        # read a short window ending at the INDEX's own end time: the
+        # reader computes its last frame as floor(end*fps) — the exact
+        # float expression pack keyed the feature with, so the LAST frame
+        # must be the stored one. (Reconstructing t=fid/fps and flooring
+        # again is FP-unsafe: floor((fid/30)*30) == fid-1 for ~1.6% of
+        # ids.) Clips ending before the first frame time were key-clamped
+        # to frame 1 (frame_id_for_time); read that frame's own window.
+        if end * store_fps < 1.0:
+            t_start, end = 0.0, 1.49 / store_fps
+        else:
+            t_start = end - 2.0 / store_fps
         for name, reader in readers_to_check:
-            got, _ = reader(f"{stem}.mp4", t_start, t_end, store_fps, None)
-            got = got.reshape(-1)
+            got, _ = reader(f"{stem}.mp4", t_start, end, store_fps, None)
+            got = got[-1].reshape(-1)
             if got.shape != want.shape or not np.array_equal(got, want):
                 raise AssertionError(
                     f"{name} readback mismatch for uid={uid} frame={fid}: "
