@@ -27,6 +27,10 @@ V100_CLIPS_PER_SEC_EST = 20.0
 # + flip challenge-submission forward, models/base.py batched-crop path),
 # or 'fed' (disk -> native decode -> loader -> device, .bench/fed_pipeline.md)
 MODE = os.environ.get("AVT_BENCH_MODE", "train")
+if MODE not in ("train", "eval", "fed"):
+    # fail fast: a typo'd mode must neither KeyError after a 15-minute
+    # measurement nor silently run the train bench with no floor
+    raise SystemExit(f"Unknown AVT_BENCH_MODE {MODE!r} (train|eval|fed)")
 # clips per step; overridable for A/B runs (AVT_BENCH_B=32 python bench.py).
 # Train: B=16 beat 24/32 (ledger, CLAUDE.md); fed drives the SAME train
 # step, so it inherits B=16 (its .bench/fed_pipeline.md comparisons are at

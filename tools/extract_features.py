@@ -321,38 +321,47 @@ def verify_roundtrip(
 
     logger = logger or get_logger("extract_features")
     resfiles = _h5_files(results_dir)
-    # last (file, row) per uid: the same later-row-wins rule pack applies
-    # (a re-extraction appends superseding rows; verifying a stale one
-    # would fail against a correctly packed store)
-    locs: Dict[str, Tuple[int, int]] = {}
+    # last (file, row) per STORE KEY (stem, frame id) — the exact
+    # later-row-wins rule pack applies (superseding re-extraction rows,
+    # but also two uids flooring to the same frame id at sub-frame
+    # strides); verifying any other row would fail on a correct store
+    locs: Dict[Tuple[str, int], Tuple[str, int, int]] = {}
     for fi, resfile in enumerate(resfiles):
         with h5py.File(resfile, "r") as f:
             uids = f["uid"][()]
         for ri, uid in enumerate(uids):
             uid = _decode_uid(uid)
             if uid in index:
-                locs[uid] = (fi, ri)
-    loc_items = list(locs.items())
+                stem, end = index[uid]
+                fid = frame_id_for_time(end, store_fps)
+                locs[(stem, fid)] = (uid, fi, ri)
+    loc_items = list(locs.values())
     rng = np.random.default_rng(0)
     picks = rng.choice(
         len(loc_items), size=min(n_check, len(loc_items)), replace=False
     )
     rows = []
     for p in picks:
-        uid, (fi, ri) = loc_items[int(p)]
+        uid, fi, ri = loc_items[int(p)]
         with h5py.File(resfiles[fi], "r") as f:
             key = _endpoint_key(f, resfiles[fi], endpoint)
             rows.append((uid, np.asarray(f[key][ri], dtype=np.float32)))
+    # closeby-frame warnings off: the 2-frame readback window's first
+    # frame is legitimately absent at strides coarser than a frame period
     readers_to_check = []
     npy_dir = os.path.join(out_dir, "npy")
     if os.path.isdir(npy_dir):
         readers_to_check.append(
-            ("npy", _readers.NpyFeatsReader(npy_dir, read_type="normal"))
+            ("npy", _readers.NpyFeatsReader(
+                npy_dir, read_type="normal",
+                warn_if_using_closeby_frame=False))
         )
     lmdb_dir = os.path.join(out_dir, "lmdb")
     if os.path.isdir(lmdb_dir) and _readers.HAVE_LMDB:
         readers_to_check.append(
-            ("lmdb", _readers.LMDBFeatsReader(lmdb_dir, read_type="normal"))
+            ("lmdb", _readers.LMDBFeatsReader(
+                lmdb_dir, read_type="normal",
+                warn_if_using_closeby_frame=False))
         )
     n_done = 0
     for uid, want in rows:
