@@ -245,3 +245,34 @@ def test_coordinator_bind_failed(tmp_path):
     late = tmp_path / "rank2.log"
     late.write_text("tsl status: ALREADY_EXISTS: checkpoint step 4\n")
     assert not _coordinator_bind_failed([str(late)])
+
+
+def test_launcher_slurm_submit_and_kill(tmp_path, monkeypatch):
+    """--slurm --submit runs sbatch, records the job id, and --kill
+    scancels it (the reference's hydra-submitit submit + scancel modes,
+    launch.py:229,282) — exercised against stub SLURM binaries."""
+    import stat
+    import subprocess
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    (bin_dir / "sbatch").write_text(
+        "#!/bin/bash\necho \"Submitted batch job 4242\"\n")
+    (bin_dir / "scancel").write_text(
+        f"#!/bin/bash\necho \"$@\" > {tmp_path}/scancel_args\n")
+    for b in ("sbatch", "scancel"):
+        p = bin_dir / b
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+    monkeypatch.chdir(tmp_path)
+    expt = tmp_path / "submit_expt.txt"
+    expt.write_text("train.batch_size=4\n")
+
+    job_id = launch_main(["-c", str(expt), "--slurm", "--submit"])
+    assert job_id == "4242"
+    od = output_dir_for(str(expt))
+    assert (tmp_path / od / "slurm_job_ids").read_text().split() == ["4242"]
+
+    launch_main(["-c", str(expt), "--kill"])
+    assert (tmp_path / "scancel_args").read_text().split() == ["4242"]
+    assert not (tmp_path / od / "slurm_job_ids").exists()
